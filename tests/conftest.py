@@ -1,0 +1,41 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on fake CPU devices (the standard JAX
+substitute for real pods); the driver separately dry-runs the multi-chip
+path, and benchmarks run on real TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(20260816)
+
+
+def random_board(rng, shape=(12, 12), density=0.25, flag_prob=0.08,
+                 spawners=False):
+    """A random soup board exercising all cell flags."""
+    import oracle as O
+
+    board = np.zeros(shape, dtype=np.int64)
+    alive = rng.random(shape) < density
+    board |= alive * O.ALIVE
+    for flag in (O.PUSHABLE, O.DESTRUCTIBLE, O.FROZEN, O.PRESERVING,
+                 O.INHIBITING, O.PULLABLE):
+        board |= (rng.random(shape) < flag_prob) * flag
+    if spawners:
+        spawn = rng.random(shape) < 0.05
+        board |= spawn * (O.SPAWNING | O.FROZEN)
+    board |= (rng.integers(0, 8, shape) << O.COLOR_BIT)
+    return board
