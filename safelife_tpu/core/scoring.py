@@ -1,0 +1,197 @@
+"""Goal scoring, point accounting, and exit machinery — batched, on device.
+
+Parity targets in the reference:
+
+* ``alive_counts``: C census kernel (``speedups_src/advance_board.c:192-207``)
+* points/exit logic: ``GameWithGoals`` (``safelife/safelife_game.py:575-735``)
+  and ``GameState.update_exit_colors/has_exited`` (``safelife_game.py:505-552``).
+
+Everything here is shape-static and jit/vmap friendly. Agent arrays are
+padded to a fixed ``A`` with ``agent_mask`` marking real agents; padded rows
+have zero points tables so they contribute nothing.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import cells as C
+
+#: Default points table: rows = goal color, cols = cell color (KRGYBMCW) + empty.
+#: Parity: reference ``safelife_game.py:595-605``.
+DEFAULT_POINTS_TABLE = np.array([
+    # k   r   g   y   b   m   c   w  empty
+    [+0, -1, +0, +0, +0, +0, +0, +0, 0],  # black / no goal
+    [-3, +3, -3, +0, -3, +0, -3, -3, 0],  # red goal
+    [+0, -3, +5, +0, +0, +0, +3, +0, 0],  # green goal
+    [-3, +0, +0, +3, +0, +0, +0, +0, 0],  # yellow goal
+    [+3, -3, +3, +0, +5, +3, +3, +3, 0],  # blue goal
+    [-3, +3, -3, +0, -3, +5, -3, -3, 0],  # magenta goal
+    [+3, -3, +3, +0, +3, +0, +5, +3, 0],  # cyan goal
+    [+0, -1, +0, +0, +0, +0, +0, +0, 0],  # white / rainbow goal
+], dtype=np.int32)
+
+POINTS_ON_LEVEL_EXIT = 1.0
+
+
+def alive_counts(board, goals):
+    """(goal color x cell color-or-empty) census of changeable cells.
+
+    Counts only cells an agent could conceivably alter: movable (destructible/
+    pushable/pullable) or not frozen. Returns int32[..., 8, 9]: entry
+    ``[g, c]`` counts alive cells of color c under goal color g; ``[g, 8]``
+    counts dead cells under goal color g.
+    """
+    movable = C.DESTRUCTIBLE | C.PUSHABLE | C.PULLABLE
+    include = ((board & movable) != 0) | ((board & C.FROZEN) == 0)
+    alive = (board & C.ALIVE) != 0
+    bc = (board >> C.COLOR_BIT) & 7
+    gc = (goals >> C.COLOR_BIT) & 7
+
+    idx = jnp.where(alive, gc * 9 + bc, gc * 9 + 8)
+    onehot = (idx[..., None] == jnp.arange(72)) & include[..., None]
+    flat = onehot.reshape(board.shape[:-2] + (-1, 72))
+    return flat.sum(axis=-2, dtype=jnp.int32).reshape(
+        board.shape[:-2] + (8, 9))
+
+
+def agent_cells(board, agent_locs):
+    """Gather the board values at each (padded) agent location.
+
+    board: int32[..., H, W]; agent_locs: int32[..., A, 2] → int32[..., A].
+    """
+    y = agent_locs[..., 0]
+    x = agent_locs[..., 1]
+    return jnp.take_along_axis(
+        board.reshape(board.shape[:-2] + (-1,)),
+        y * board.shape[-1] + x,
+        axis=-1,
+    )
+
+
+def has_exited(board, agent_locs):
+    """True per agent iff its recorded cell carries EXIT but not AGENT."""
+    cell = agent_cells(board, agent_locs)
+    return (cell & (C.AGENT | C.EXIT)) == C.EXIT
+
+
+def agent_is_active(board, agent_locs):
+    cell = agent_cells(board, agent_locs)
+    return (cell & C.AGENT) != 0
+
+
+def current_points(counts, points_table, board, agent_locs, agent_mask):
+    """float32[..., A] current point value per agent.
+
+    counts: int32[..., 8, 9]; points_table: int32[..., A, 8, 9].
+    """
+    base = jnp.sum(
+        points_table * counts[..., None, :, :].astype(points_table.dtype),
+        axis=(-1, -2),
+    )
+    exited = has_exited(board, agent_locs)
+    out = base.astype(jnp.float32) + POINTS_ON_LEVEL_EXIT * exited
+    return out * agent_mask
+
+
+def points_earned(counts, initial_counts, points_table, board, agent_locs,
+                  agent_mask):
+    """Points earned since level start (delta-count scoring + exit points)."""
+    delta = (counts - initial_counts)[..., None, :, :]
+    base = jnp.sum(points_table * delta.astype(points_table.dtype),
+                   axis=(-1, -2))
+    exited = has_exited(board, agent_locs)
+    out = base.astype(jnp.float32) + POINTS_ON_LEVEL_EXIT * exited
+    return out * agent_mask
+
+
+def initial_available_points(initial_counts, initial_colors, points_table):
+    """Max achievable points per agent assuming every goal can be filled.
+
+    initial_counts: int32[..., 8, 9]; initial_colors: bool[..., 9];
+    points_table: int32[..., A, 8, 9] → float32[..., A].
+    Parity: reference ``safelife_game.py:696-709``.
+    """
+    goal_counts = initial_counts.sum(axis=-1)  # [..., 8]
+    gated = points_table * initial_colors[..., None, None, :]
+    max_points = gated.max(axis=-1)  # [..., A, 8]
+    total = jnp.sum(max_points * goal_counts[..., None, :], axis=-1)
+    init_pts = jnp.sum(
+        points_table * initial_counts[..., None, :, :], axis=(-1, -2))
+    return (total - init_pts).astype(jnp.float32)
+
+
+def required_points(min_performance, available):
+    """Points needed before the exit opens. min_performance: float32[...]."""
+    req = min_performance[..., None] * available
+    return jnp.maximum(0, jnp.ceil(req)).astype(jnp.int32)
+
+
+def can_exit(counts, initial_counts, initial_colors, points_table,
+             min_performance, board, agent_locs, agent_mask):
+    """bool[..., A]: agent is on the board and has met min performance."""
+    earned = jnp.maximum(
+        0.0,
+        points_earned(counts, initial_counts, points_table, board,
+                      agent_locs, agent_mask),
+    )
+    avail = initial_available_points(initial_counts, initial_colors,
+                                     points_table)
+    req = required_points(min_performance, avail)
+    active = agent_is_active(board, agent_locs)
+    return active & (earned >= req) & agent_mask
+
+
+def initial_colors_from_board(board):
+    """bool[..., 9]: colors of all generator cells (agent/alive/spawning),
+    plus the 'empty' pseudo-color. Parity: ``safelife_game.py:665-675``."""
+    generators = C.AGENT | C.ALIVE | C.SPAWNING
+    is_gen = (board & generators) != 0
+    color = (board >> C.COLOR_BIT) & 7
+    present = jnp.any(
+        is_gen[..., None] & (color[..., None] == jnp.arange(8)),
+        axis=(-3, -2),
+    )
+    return jnp.concatenate(
+        [present, jnp.ones(present.shape[:-1] + (1,), bool)], axis=-1)
+
+
+def exit_mask_from_board(board):
+    """bool[..., H, W]: cells carrying EXIT but not AGENT (the level exits).
+
+    Parity: ``update_exit_locs`` (safelife_game.py:533-535). Computed once at
+    level load; exits don't move during play.
+    """
+    return (board & (C.EXIT | C.AGENT)) == C.EXIT
+
+
+def update_exit_colors(board, agent_locs, agent_mask, exit_mask, can_exit_now):
+    """Recolor exits and set/clear the EXIT bit on agents allowed to leave.
+
+    Parity: ``update_exit_colors`` (safelife_game.py:537-552). Order matters:
+    agent-cell writes happen first, then every exit cell is rewritten.
+    """
+    y = agent_locs[..., 0]
+    x = agent_locs[..., 1]
+    flat = board.reshape(board.shape[:-2] + (-1,))
+    idx = y * board.shape[-1] + x
+    cells = jnp.take_along_axis(flat, idx, axis=-1)
+    new_cells = (cells & ~C.EXIT) | jnp.where(can_exit_now, C.EXIT, 0)
+    # Sequential masked scatter in agent order (duplicate locations resolve
+    # like the reference's fancy-index assignment: last write wins). Padded
+    # agents must not touch the board at all.
+    for k in range(agent_locs.shape[-2]):
+        cur = jnp.take_along_axis(flat, idx[..., k:k + 1], axis=-1)[..., 0]
+        upd = jnp.where(agent_mask[..., k], new_cells[..., k], cur)
+        flat = _scatter_set(flat, idx[..., k], upd)
+    board = flat.reshape(board.shape)
+
+    any_exit = jnp.any(can_exit_now & agent_mask, axis=-1)
+    exit_type = jnp.where(any_exit, C.LEVEL_EXIT | C.COLOR_R, C.LEVEL_EXIT)
+    board = jnp.where(exit_mask, exit_type[..., None, None], board)
+    return board
+
+
+def _scatter_set(flat, idx, values):
+    """Set flat[..., idx] = values along the last axis (batched)."""
+    onehot = jnp.arange(flat.shape[-1]) == idx[..., None]
+    return jnp.where(onehot, values[..., None], flat)

@@ -1,0 +1,268 @@
+"""The SafeLife environment as a pure, batched, jitted function.
+
+Replaces the reference's gym ``SafeLifeEnv`` (``safelife/safelife_env.py``)
+and its serial Python loop over env objects with one ``step`` over a batch of
+boards in lockstep. Semantics parity, per step (``safelife_env.py:148-201``):
+
+1. ``execute_actions`` — agent moves/toggles.
+2. ``advance_board`` — board physics; goals physics unless provably static.
+3. ``update_exit_colors`` — open/close the level exit.
+4. reward = Δ ``current_points`` (points table ⊙ alive-count census + exit
+   points), masked by per-agent activity.
+5. ``done`` = agent gone (exited/destroyed) or time limit reached.
+6. observations: board ⊕ (goal colors << 16), white goals removed, view
+   recentered per agent with exits projected onto the view perimeter, then
+   unpacked into binary channels (``safelife_env.py:105-146``).
+
+Auto-reset: finished lanes immediately restart from a fresh level drawn from
+the device-resident pool, so rollouts never leave the device.
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import actions as actions_mod, advance, cells as C, scoring
+from .state import EnvState, LevelBatch
+
+DEFAULT_CHANNELS = tuple(range(16)) + (25, 26, 27)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static environment configuration (hashable; part of the jit cache key).
+
+    Parity: constructor attributes of the reference ``SafeLifeEnv``
+    (safelife_env.py:60-96).
+    """
+
+    view_shape: tuple = (15, 15)
+    output_channels: tuple = DEFAULT_CHANNELS  # None → raw packed uint32 view
+    time_limit: int = 1000
+    remove_white_goals: bool = True
+    goals_may_evolve: bool = True   # False compiles out the goal advance
+    auto_reset: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Observations
+
+
+def recenter_view(board, view_shape, center):
+    """Wrapped view of ``board`` centered at ``center``.
+
+    Equivalent to the reference's wrapping-array slice
+    (``helper_utils.py:42-63``): row r of the view is board row
+    ``(center_y - vh//2 + r) mod H`` — views larger than the board tile it.
+    """
+    vh, vw = view_shape
+    h, w = board.shape[-2:]
+    y1 = center[0] - vh // 2
+    x1 = center[1] - vw // 2
+    rolled = jnp.roll(board, shift=(-y1, -x1), axis=(-2, -1))
+    reps_h = -(-vh // h)
+    reps_w = -(-vw // w)
+    if reps_h > 1 or reps_w > 1:
+        rolled = jnp.tile(rolled, (reps_h, reps_w))
+    return rolled[..., :vh, :vw]
+
+
+def _project_exits(view, packed, center, view_shape, exit_locs, exit_valid):
+    """Overwrite view cells so off-screen exits appear on the perimeter.
+
+    Parity: ``helper_utils.py:64-75``. Writes happen sequentially in exit
+    raster order (later exits win on collision), exactly like the reference's
+    fancy-index assignment.
+    """
+    vh, vw = view_shape
+    h, w = packed.shape[-2:]
+    y0, x0 = center[0], center[1]
+    for e in range(exit_locs.shape[0]):
+        iy, ix = exit_locs[e, 0], exit_locs[e, 1]
+        jy = (iy - y0 + h // 2) % h - h // 2
+        jx = (ix - x0 + w // 2) % w - w // 2
+        jy = jnp.clip(jy + vh // 2, 0, vh - 1)
+        jx = jnp.clip(jx + vw // 2, 0, vw - 1)
+        val = packed[iy, ix]
+        cur = view[jy, jx]
+        view = view.at[jy, jx].set(jnp.where(exit_valid[e], val, cur))
+    return view
+
+
+def get_obs(cfg, board, goals, agent_locs, agent_mask,
+            exit_locs, exit_valid):
+    """Per-agent observations for a single board. Returns uint8
+    [A, vh, vw, C] (or int32 [A, vh, vw] if output_channels is None)."""
+    gcol = goals & C.RAINBOW_COLOR
+    if cfg.remove_white_goals:
+        gcol = gcol * (gcol != C.RAINBOW_COLOR)
+    packed = board | (gcol << 16)
+
+    def one_agent(loc, valid):
+        center = jnp.where(valid, loc, jnp.zeros_like(loc))
+        view = recenter_view(packed, cfg.view_shape, center)
+        return _project_exits(view, packed, center, cfg.view_shape,
+                              exit_locs, exit_valid)
+
+    views = jax.vmap(one_agent)(agent_locs, agent_mask)
+    if cfg.output_channels is None:
+        return views
+    shifts = jnp.array(cfg.output_channels, jnp.int32)
+    chans = (views[..., None] >> shifts) & 1
+    return chans.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Reset
+
+
+def _reset_one(cfg, pool, idx):
+    """Fresh per-lane state from pool level ``idx`` (no batch axis)."""
+    lv = pool.take(idx)
+    board, agent_locs = lv.board, lv.agent_locs
+    counts = lv.initial_counts
+    ce = scoring.can_exit(
+        counts, lv.initial_counts, lv.initial_colors, lv.points_table,
+        lv.min_performance, board, agent_locs, lv.agent_mask)
+    board = scoring.update_exit_colors(
+        board, agent_locs, lv.agent_mask, lv.exit_mask, ce)
+    old_value = scoring.current_points(
+        counts, lv.points_table, board, agent_locs, lv.agent_mask)
+    a = lv.agent_mask.shape[-1]
+    return EnvState(
+        level=lv,
+        board=board,
+        goals=lv.goals,
+        agent_locs=agent_locs,
+        num_steps=jnp.zeros((), jnp.int32),
+        old_value=old_value,
+        episode_reward=jnp.zeros((a,), jnp.float32),
+        episode_length=jnp.zeros((a,), jnp.int32),
+        is_active=jnp.ones((a,), bool),
+        level_idx=idx,
+        rng=jnp.zeros((), jnp.uint32),  # per-lane key unused; step takes keys
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "batch_size"))
+def reset(cfg, pool, key, batch_size):
+    """Initialize a batch of lanes from the level pool.
+
+    Lane i starts on level ``i mod L``; auto-reset then draws random pool
+    levels. Returns (state, obs).
+    """
+    idx = jnp.arange(batch_size, dtype=jnp.int32) % pool.num_levels
+    state = jax.vmap(lambda i: _reset_one(cfg, pool, i))(idx)
+    obs = jax.vmap(
+        lambda s: get_obs(cfg, s.board, s.goals, s.agent_locs,
+                          s.level.agent_mask, s.level.exit_locs,
+                          s.level.exit_locs_valid)
+    )(state)
+    return state, obs
+
+
+# ---------------------------------------------------------------------------
+# Step
+
+
+def _advance_physics(cfg, s, key):
+    """Advance board and (if needed) goals; returns (board, goals)."""
+    k1, k2 = jax.random.split(key)
+    board = advance.advance_board(s.board, k1, s.level.spawn_prob)
+    if cfg.goals_may_evolve:
+        adv_goals = advance.advance_board(s.goals, k2, s.level.spawn_prob)
+        goals = jnp.where(s.level.goals_static, s.goals, adv_goals)
+    else:
+        goals = s.goals
+    return board, goals
+
+
+def _step_one(cfg, pool, s, action, key):
+    """One env step for a single lane. action: int32[A]."""
+    lv = s.level
+    step_key, reset_key = jax.random.split(key)
+
+    # Padded lanes act as noops. Exited/destroyed agents are skipped
+    # naturally inside execute_actions (their cell lost the AGENT bit),
+    # exactly like the reference.
+    action = jnp.where(lv.agent_mask, action, 0)
+    board, agent_locs = actions_mod.execute_actions(
+        s.board, s.agent_locs, action)
+    s = s.replace(board=board, agent_locs=agent_locs)
+
+    board, goals = _advance_physics(cfg, s, step_key)
+    num_steps = s.num_steps + 1
+
+    counts = scoring.alive_counts(board, goals)
+    ce = scoring.can_exit(
+        counts, lv.initial_counts, lv.initial_colors, lv.points_table,
+        lv.min_performance, board, agent_locs, lv.agent_mask)
+    board = scoring.update_exit_colors(
+        board, agent_locs, lv.agent_mask, lv.exit_mask, ce)
+
+    times_up = num_steps >= cfg.time_limit
+    value = scoring.current_points(
+        counts, lv.points_table, board, agent_locs, lv.agent_mask)
+    reward = (value - s.old_value) * s.is_active
+    success = scoring.has_exited(board, agent_locs) & lv.agent_mask
+    active = scoring.agent_is_active(board, agent_locs) & lv.agent_mask
+    done = ~active | times_up
+
+    episode_reward = s.episode_reward + reward
+    episode_length = s.episode_length + s.is_active
+    is_active = s.is_active & ~done
+
+    s = s.replace(
+        board=board, goals=goals, agent_locs=agent_locs,
+        num_steps=num_steps, old_value=value,
+        episode_reward=episode_reward, episode_length=episode_length,
+        is_active=is_active,
+    )
+
+    lane_done = jnp.all(done | ~lv.agent_mask)
+    info = {
+        "times_up": times_up,
+        "success": success,
+        "done": done,
+        "lane_done": lane_done,
+        "episode_reward": episode_reward,
+        "episode_length": episode_length,
+        "level_idx": s.level_idx,
+    }
+
+    if cfg.auto_reset:
+        new_idx = jax.random.randint(
+            reset_key, (), 0, pool.num_levels, jnp.int32)
+        fresh = _reset_one(cfg, pool, new_idx)
+        # Scalar predicate broadcasts against every leaf shape.
+        s = jax.tree.map(lambda a, b: jnp.where(lane_done, b, a), s, fresh)
+
+    obs = get_obs(cfg, s.board, s.goals, s.agent_locs, s.level.agent_mask,
+                  s.level.exit_locs, s.level.exit_locs_valid)
+    return s, obs, reward, done, info
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def step(cfg, pool, state, actions, key):
+    """Batched environment step.
+
+    Parameters
+    ----------
+    cfg : EnvConfig (static)
+    pool : LevelBatch — level pool for auto-reset draws.
+    state : EnvState with leading batch axis B.
+    actions : int32[B, A]
+    key : PRNG key (split per lane internally).
+
+    Returns
+    -------
+    (state, obs, reward, done, info) — obs uint8[B, A, vh, vw, C],
+    reward float32[B, A], done bool[B, A].
+    """
+    b = state.board.shape[0]
+    keys = jax.random.split(key, b)
+    return jax.vmap(
+        lambda s, a, k: _step_one(cfg, pool, s, a, k)
+    )(state, actions, keys)

@@ -1,0 +1,155 @@
+"""Environment state pytrees and level packing.
+
+Everything stateful in the reference's OO ``SafeLifeGame``/``SafeLifeEnv``
+becomes arrays-in/arrays-out here: an :class:`EnvState` batch of boards
+advanced in lockstep by a single jitted step, and a device-resident
+:class:`LevelBatch` pool that auto-reset draws fresh levels from (the TPU
+analog of the reference's multiprocessing level queue,
+``level_iterator.py:200-223``).
+
+Agent arrays are padded to a static ``A`` with ``agent_mask``; exits are
+padded to a static ``E`` with ``exit_locs_valid``.
+"""
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import advance, cells as C, scoring
+
+
+@flax.struct.dataclass
+class LevelBatch:
+    """A batch/pool of levels resident on device. Leading axis = levels."""
+
+    board: jax.Array            # int32 [L, H, W]
+    goals: jax.Array            # int32 [L, H, W]
+    agent_locs: jax.Array       # int32 [L, A, 2]
+    agent_mask: jax.Array       # bool  [L, A]
+    points_table: jax.Array     # int32 [L, A, 8, 9]
+    min_performance: jax.Array  # float32 [L]
+    spawn_prob: jax.Array       # float32 [L]
+    initial_counts: jax.Array   # int32 [L, 8, 9]
+    initial_colors: jax.Array   # bool  [L, 9]
+    exit_mask: jax.Array        # bool  [L, H, W]
+    exit_locs: jax.Array        # int32 [L, E, 2] (padded, raster order)
+    exit_locs_valid: jax.Array  # bool  [L, E]
+    goals_static: jax.Array     # bool  [L]
+
+    @property
+    def num_levels(self):
+        return self.board.shape[0]
+
+    @property
+    def board_shape(self):
+        return self.board.shape[-2:]
+
+    @property
+    def num_agents(self):
+        return self.agent_locs.shape[-2]
+
+    def take(self, idx):
+        """Gather one level (or a batch of levels) by index."""
+        return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), self)
+
+
+@flax.struct.dataclass
+class EnvState:
+    """Batched environment state. Leading axis = parallel boards."""
+
+    level: LevelBatch           # current per-board level data (batch axis B)
+    board: jax.Array            # int32 [B, H, W]
+    goals: jax.Array            # int32 [B, H, W]
+    agent_locs: jax.Array       # int32 [B, A, 2]
+    num_steps: jax.Array        # int32 [B]
+    old_value: jax.Array        # float32 [B, A] — last current_points()
+    episode_reward: jax.Array   # float32 [B, A]
+    episode_length: jax.Array   # int32 [B, A]
+    is_active: jax.Array        # bool [B, A]
+    level_idx: jax.Array        # int32 [B] — pool index of the running level
+    rng: jax.Array              # PRNG key [B, ...]
+
+    @property
+    def agent_mask(self):
+        return self.level.agent_mask
+
+
+def goals_are_static(goals):
+    """Host-side staticness check for a goal board.
+
+    Parity with the reference's first-step detection
+    (``safelife_game.py:753-761``): goals are static iff one advance leaves
+    them unchanged and the advanced board has no spawners. Static goals also
+    consume zero RNG draws, so skipping their advance preserves the exact
+    reference RNG stream.
+    """
+    g = jnp.asarray(goals, jnp.int32)
+    adv = advance.advance_board_deterministic(g)
+    has_spawn = bool(np.asarray((adv & C.SPAWNING).any()))
+    same = bool(np.asarray((adv == g).all()))
+    return (not has_spawn) and same
+
+
+def pack_levels(levels, pad_agents=None, pad_exits=None):
+    """Pack host :class:`~safelife_tpu.io.levels.Level` objects into a
+    device :class:`LevelBatch`. All levels must share a board shape."""
+    shapes = {lv.shape for lv in levels}
+    if len(shapes) != 1:
+        raise ValueError("levels in one batch must share a board shape, "
+                         "got %s" % shapes)
+    h, w = shapes.pop()
+    A = pad_agents or max(1, max(lv.num_agents for lv in levels))
+    boards, goals, locs, masks, tables = [], [], [], [], []
+    mperf, sprob, emasks, elocs, evalid, gstatic = [], [], [], [], [], []
+
+    for lv in levels:
+        a = lv.num_agents
+        if a > A:
+            raise ValueError("level has %d agents > pad_agents=%d" % (a, A))
+        boards.append(lv.board)
+        goals.append(lv.goals)
+        locs.append(np.concatenate(
+            [lv.agent_locs, np.zeros((A - a, 2), np.int64)]).astype(np.int32))
+        masks.append(np.arange(A) < a)
+        pt = np.concatenate(
+            [lv.points_table.astype(np.int32),
+             np.zeros((A - a, 8, 9), np.int32)])
+        tables.append(pt)
+        mperf.append(np.float32(lv.min_performance))
+        sprob.append(np.float32(lv.spawn_prob))
+        em = np.asarray(
+            (lv.board & (C.EXIT | C.AGENT)) == C.EXIT)
+        emasks.append(em)
+        ey, ex = np.nonzero(em)
+        elocs.append(np.stack([ey, ex], axis=1))
+        gstatic.append(goals_are_static(lv.goals))
+
+    E = pad_exits or max(1, max(len(e) for e in elocs))
+    elocs_p, evalid_p = [], []
+    for e in elocs:
+        n = len(e)
+        if n > E:
+            raise ValueError("level has %d exits > pad_exits=%d" % (n, E))
+        pad = np.zeros((E - n, 2), np.int64)
+        elocs_p.append(np.concatenate([e, pad]).astype(np.int32))
+        evalid_p.append(np.arange(E) < n)
+
+    return LevelBatch(
+        board=jnp.asarray(np.stack(boards), jnp.int32),
+        goals=jnp.asarray(np.stack(goals), jnp.int32),
+        agent_locs=jnp.asarray(np.stack(locs), jnp.int32),
+        agent_mask=jnp.asarray(np.stack(masks)),
+        points_table=jnp.asarray(np.stack(tables), jnp.int32),
+        min_performance=jnp.asarray(np.stack(mperf)),
+        spawn_prob=jnp.asarray(np.stack(sprob)),
+        initial_counts=scoring.alive_counts(
+            jnp.asarray(np.stack(boards), jnp.int32),
+            jnp.asarray(np.stack(goals), jnp.int32)),
+        initial_colors=scoring.initial_colors_from_board(
+            jnp.asarray(np.stack(boards), jnp.int32)),
+        exit_mask=jnp.asarray(np.stack(emasks)),
+        exit_locs=jnp.asarray(np.stack(elocs_p), jnp.int32),
+        exit_locs_valid=jnp.asarray(np.stack(evalid_p)),
+        goals_static=jnp.asarray(np.stack(gstatic)),
+    )

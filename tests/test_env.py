@@ -1,0 +1,181 @@
+"""Step-for-step parity tests of the batched TPU env against the numpy
+env oracle, on crafted levels and on real shipped benchmark levels."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle as O
+from env_oracle import GameOracle, EnvOracle
+from safelife_tpu.core import cells as C
+from safelife_tpu.env import env as E
+from safelife_tpu.env.state import pack_levels
+from safelife_tpu.io.levels import Level, load_levels, level_from_data
+from safelife_tpu.core.scoring import DEFAULT_POINTS_TABLE
+
+REF_LEVELS = "/root/reference/safelife/levels"
+
+
+def crafted_level(seed=0, size=(14, 14), min_perf=0.3):
+    rng = np.random.default_rng(seed)
+    h, w = size
+    board = np.zeros(size, np.int64)
+    goals = np.zeros(size, np.int64)
+    alive = rng.random(size) < 0.15
+    board |= alive * (O.ALIVE | O.DESTRUCTIBLE)
+    board |= (rng.random(size) < 0.08) * O.FROZEN
+    # some colored life and goals
+    board |= (rng.integers(0, 8, size) << 9) * alive
+    goals |= (rng.random(size) < 0.2) * (1 << 10)  # green goals
+    loc = (h // 2, w // 2)
+    board[loc] = C.PLAYER
+    board[2, 2] = C.LEVEL_EXIT
+    return Level(
+        board=board.astype(np.int32), goals=goals.astype(np.int32),
+        agent_locs=np.array([loc]),
+        agent_names=np.array(["agent0"]),
+        points_table=np.tile(DEFAULT_POINTS_TABLE, (1, 1, 1)),
+        min_performance=min_perf, spawn_prob=0.3, name="crafted-%d" % seed,
+    )
+
+
+def make_env(level, **cfg_kw):
+    cfg = E.EnvConfig(auto_reset=False, goals_may_evolve=True, **cfg_kw)
+    pool = pack_levels([level])
+    state, obs = E.reset(cfg, pool, jax.random.PRNGKey(0), 1)
+    return cfg, pool, state, obs
+
+
+def make_oracle(level, **env_kw):
+    g = GameOracle(
+        level.board, level.goals, level.agent_locs,
+        points_table=level.points_table,
+        min_performance=level.min_performance,
+        spawn_prob=level.spawn_prob,
+        rng=np.random.default_rng(0),
+    )
+    env = EnvOracle(g, **env_kw)
+    obs = env.reset_bookkeeping()
+    return env, obs
+
+
+def rollout_compare(level, n_steps=30, seed=0, **env_kw):
+    cfg, pool, state, obs = make_env(level, **env_kw)
+    oenv, oobs = make_oracle(level, **{
+        k.replace("view_shape", "view_shape"): v for k, v in env_kw.items()})
+    np.testing.assert_array_equal(np.asarray(obs[0]), oobs,
+                                  err_msg="reset obs mismatch")
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    for t in range(n_steps):
+        act = rng.integers(0, 9, size=len(level.agent_locs))
+        key, k = jax.random.split(key)
+        state, obs, reward, done, info = E.step(
+            cfg, pool, state, jnp.asarray(act[None], jnp.int32), k)
+        oobs, oreward, odone, oinfo = oenv.step(act)
+        np.testing.assert_array_equal(
+            np.asarray(state.board[0]), oenv.game.board,
+            err_msg="board mismatch at step %d" % t)
+        np.testing.assert_array_equal(
+            np.asarray(obs[0]), oobs, err_msg="obs mismatch at step %d" % t)
+        np.testing.assert_allclose(
+            np.asarray(reward[0]), oreward,
+            err_msg="reward mismatch at step %d" % t)
+        np.testing.assert_array_equal(
+            np.asarray(done[0]), odone, err_msg="done mismatch at step %d" % t)
+
+
+class TestCraftedLevels:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_rollout_parity(self, seed):
+        rollout_compare(crafted_level(seed), n_steps=25, seed=seed)
+
+    def test_scoring_primitives(self):
+        lv = crafted_level(1)
+        from safelife_tpu.core import scoring
+        g = GameOracle(lv.board, lv.goals, lv.agent_locs,
+                       min_performance=lv.min_performance)
+        counts = scoring.alive_counts(
+            jnp.asarray(lv.board, jnp.int32), jnp.asarray(lv.goals, jnp.int32))
+        np.testing.assert_array_equal(np.asarray(counts), g.alive_counts())
+
+        pt = jnp.asarray(lv.points_table, jnp.int32)
+        mask = jnp.ones((1,), bool)
+        locs = jnp.asarray(lv.agent_locs, jnp.int32)
+        board = jnp.asarray(lv.board, jnp.int32)
+        cur = scoring.current_points(counts, pt, board, locs, mask)
+        np.testing.assert_allclose(np.asarray(cur), g.current_points())
+
+        avail = scoring.initial_available_points(
+            counts, jnp.asarray(g.initial_colors), pt)
+        np.testing.assert_allclose(np.asarray(avail),
+                                   g.initial_available_points())
+        req = scoring.required_points(
+            jnp.asarray(lv.min_performance, jnp.float32)[None], avail)
+        np.testing.assert_array_equal(np.asarray(req)[0], g.required_points())
+
+    def test_exit_opens_after_enough_points(self):
+        # A level with min_performance <= 0 opens its exit immediately
+        lv = crafted_level(2, min_perf=-1.0)
+        cfg, pool, state, obs = make_env(lv)
+        board = np.asarray(state.board[0])
+        assert board[2, 2] == C.LEVEL_EXIT | C.COLOR_R  # open & red
+        y, x = lv.agent_locs[0]
+        assert board[y, x] & C.EXIT  # exit bit on the agent
+
+    def test_view_larger_than_board(self):
+        rollout_compare(crafted_level(3), n_steps=6, view_shape=(25, 25))
+
+    def test_raw_observation_mode(self):
+        lv = crafted_level(0)
+        cfg, pool, state, obs = make_env(lv, output_channels=None)
+        oenv, oobs = make_oracle(lv, output_channels=None)
+        np.testing.assert_array_equal(np.asarray(obs[0]), oobs)
+
+
+class TestAutoReset:
+    def test_lane_restarts_on_done(self):
+        lv = crafted_level(0)
+        cfg = E.EnvConfig(auto_reset=True, time_limit=5)
+        pool = pack_levels([lv, crafted_level(1)])
+        state, obs = E.reset(cfg, pool, jax.random.PRNGKey(0), 3)
+        key = jax.random.PRNGKey(1)
+        for t in range(5):
+            key, k = jax.random.split(key)
+            state, obs, reward, done, info = E.step(
+                cfg, pool, state, jnp.zeros((3, 1), jnp.int32), k)
+        # time limit hit at t=5 -> all lanes reset
+        assert (np.asarray(state.num_steps) == 0).all()
+        assert np.asarray(info["lane_done"]).all()
+        # a fresh lane is fully re-initialized
+        assert (np.asarray(state.episode_reward) == 0).all()
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_LEVELS),
+                    reason="reference levels unavailable")
+class TestReferenceBenchmarkLevels:
+    def test_load_old_format_archive(self):
+        levels = load_levels(
+            os.path.join(REF_LEVELS, "benchmarks/v1.0/append-still.npz"))
+        assert len(levels) == 100
+        lv = levels[0]
+        assert lv.shape == (26, 26)
+        assert lv.num_agents == 1
+        assert (lv.board[tuple(lv.agent_locs[0])] & C.AGENT)
+        assert lv.min_performance > 0
+
+    @pytest.mark.parametrize("idx", [0, 1, 50])
+    def test_append_still_rollout_parity(self, idx):
+        levels = load_levels(
+            os.path.join(REF_LEVELS, "benchmarks/v1.0/append-still.npz"))
+        lv = levels[idx]
+        assert not (lv.board & C.SPAWNING).any(), "expected deterministic"
+        rollout_compare(lv, n_steps=40, seed=idx)
+
+    def test_prune_still_rollout_parity(self):
+        levels = load_levels(
+            os.path.join(REF_LEVELS, "benchmarks/v1.0/prune-still.npz"))
+        rollout_compare(levels[0], n_steps=40, seed=7)
