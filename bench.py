@@ -1,0 +1,106 @@
+"""Headline benchmark: env-steps/s on append-still, batch 4096, one chip.
+
+Runs a fused on-device rollout (random policy) over 4096 lockstep SafeLife
+boards loaded from the append-still benchmark suite and reports throughput.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md). Its
+serial Python-loop + C-kernel engine runs on the order of 1e4 env-steps/s
+per process (upper end of the locally-estimated range in BASELINE.md), which
+is the denominator used for ``vs_baseline``.
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_BASELINE_STEPS_PER_S = 1.0e4
+BATCH = 4096
+SCAN_STEPS = 100
+TIMED_REPS = 5
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def load_pool():
+    from safelife_tpu.env.state import pack_levels
+    from safelife_tpu.io.levels import load_levels
+
+    candidates = [
+        "/root/reference/safelife/levels/benchmarks/v1.0/append-still.npz",
+        os.path.join(os.path.dirname(__file__),
+                     "safelife_tpu/levels/benchmarks/append-still.npz"),
+    ]
+    for path in candidates:
+        if os.path.exists(path):
+            log("levels:", path)
+            return pack_levels(load_levels(path))
+    from __graft_entry__ import _crafted_levels
+    log("levels: crafted fallback")
+    return pack_levels(_crafted_levels(8))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from safelife_tpu.env import env as E
+
+    pool = load_pool()
+    cfg = E.EnvConfig(
+        view_shape=(25, 25),
+        output_channels=None,  # raw views; pure env throughput
+        time_limit=1000,
+        goals_may_evolve=False,  # append-still goals are static
+        auto_reset=True,
+    )
+
+    state, obs = E.reset(cfg, pool, jax.random.PRNGKey(0), BATCH)
+
+    def run_chunk(state, key):
+        def body(carry, k):
+            state = carry
+            ka, ke = jax.random.split(k)
+            actions = jax.random.randint(
+                ka, (BATCH, pool.num_agents), 0, 9, jnp.int32)
+            state, obs, reward, done, info = E.step_impl(
+                cfg, pool, state, actions, ke)
+            return state, reward.sum()
+        keys = jax.random.split(key, SCAN_STEPS)
+        state, rs = jax.lax.scan(body, state, keys)
+        return state, rs.sum()
+
+    run = jax.jit(run_chunk, donate_argnums=0)
+
+    t0 = time.perf_counter()
+    state, _ = run(state, jax.random.PRNGKey(1))
+    jax.block_until_ready(state)
+    log("compile+warmup: %.1fs" % (time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_REPS):
+        state, rsum = run(state, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    steps = BATCH * SCAN_STEPS * TIMED_REPS
+    rate = steps / dt
+    log("%.0f env-steps/s over %d steps in %.2fs on %s"
+        % (rate, steps, dt, jax.devices()[0].device_kind))
+
+    print(json.dumps({
+        "metric": "env-steps/s/chip (append-still, batch 4096, lockstep)",
+        "value": round(rate),
+        "unit": "env-steps/s",
+        "vs_baseline": round(rate / REFERENCE_BASELINE_STEPS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,8 +146,7 @@ def _reset_one(cfg, pool, idx):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "batch_size"))
-def reset(cfg, pool, key, batch_size):
+def reset_impl(cfg, pool, key, batch_size):
     """Initialize a batch of lanes from the level pool.
 
     Lane i starts on level ``i mod L``; auto-reset then draws random pool
@@ -244,8 +243,7 @@ def _step_one(cfg, pool, s, action, key):
     return s, obs, reward, done, info
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def step(cfg, pool, state, actions, key):
+def step_impl(cfg, pool, state, actions, key):
     """Batched environment step.
 
     Parameters
@@ -266,3 +264,7 @@ def step(cfg, pool, state, actions, key):
     return jax.vmap(
         lambda s, a, k: _step_one(cfg, pool, s, a, k)
     )(state, actions, keys)
+
+
+reset = jax.jit(reset_impl, static_argnames=("cfg", "batch_size"))
+step = jax.jit(step_impl, static_argnames=("cfg",))

@@ -1,0 +1,209 @@
+"""Training-time reward shaping, folded into the batched env step.
+
+The reference stacks gym wrappers around each env object
+(``training/env_factory.py:261-287``: MovementBonus -> ExtraExitBonus ->
+SimpleSideEffectPenalty -> MinPerformanceScheduler). Here the same shaping
+is a pure function over a :class:`WrappedState` pytree so the whole thing
+stays inside one jitted lockstep step. Semantics parity with
+``safelife/env_wrappers.py``:
+
+* **movement bonus** (env_wrappers.py:32-98): speed over a trailing
+  ``period``-step window; with ``as_penalty`` the bonus is recentered into a
+  standing-still penalty. The reference's ``speed ** 1e-100`` (≈ 1 for any
+  movement, 0 for none) is computed in a float32-safe way.
+* **extra exit bonus** (env_wrappers.py:121-128): on episode end (except
+  time-up), add ``bonus * episode_reward`` — the *core* env episode reward,
+  excluding shaping.
+* **simple side-effect penalty** (env_wrappers.py:148-213): per-step penalty
+  on the number of cells deviating from a baseline board (the starting state,
+  or an inaction counterfactual advanced alongside), ignoring player bits and
+  exit recoloring.
+* **min-performance scheduler** (env_wrappers.py:131-145): scales each fresh
+  level's ``min_performance``; handled by the ``min_perf_fraction`` argument
+  threaded into resets.
+
+Schedule-driven coefficients (side-effect penalty, exit difficulty) are
+traced scalars so training schedules don't trigger recompiles.
+"""
+
+import dataclasses
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ..core import advance, cells as C
+from . import env as E
+
+
+@dataclasses.dataclass(frozen=True)
+class WrapperConfig:
+    movement_bonus: float = 0.1
+    movement_bonus_period: int = 4
+    movement_bonus_power: float = 1e-100
+    movement_as_penalty: bool = True
+    exit_bonus: float = 0.5
+    se_baseline: str = "starting-state"  # or "inaction"
+    ignore_reward_cells: bool = False
+    enabled: bool = True
+
+
+@flax.struct.dataclass
+class WrappedState:
+    env: E.EnvState
+    prior_positions: jax.Array   # int32 [B, period, A, 2] ring buffer
+    prior_count: jax.Array       # int32 [B] — entries filled (<= period)
+    last_side_effect: jax.Array  # int32 [B]
+    baseline_board: jax.Array    # int32 [B, H, W]
+
+
+def _fresh_wrapper_fields(period, env_state):
+    """Per-lane wrapper state right after a reset."""
+    locs = env_state.agent_locs  # [A, 2] (per-lane call)
+    ring = jnp.zeros((period,) + locs.shape, jnp.int32)
+    ring = ring.at[0].set(locs)
+    return ring, jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32), \
+        env_state.board
+
+
+def reset_impl(cfg, wcfg, pool, key, batch_size, min_perf_fraction=1.0):
+    scaled = pool.replace(
+        min_performance=pool.min_performance * min_perf_fraction)
+    state, obs = E.reset(cfg, scaled, key, batch_size)
+    period = wcfg.movement_bonus_period
+    ring, cnt, lse, base = jax.vmap(
+        lambda s: _fresh_wrapper_fields(period, s))(state)
+    return WrappedState(
+        env=state, prior_positions=ring, prior_count=cnt,
+        last_side_effect=lse, baseline_board=base,
+    ), obs
+
+
+def _movement_bonus(wcfg, ws_prior, ws_count, locs, agent_mask):
+    """Per-lane movement bonus (no batch axis). Returns scalar bonus."""
+    period = wcfg.movement_bonus_period
+    full = ws_count >= period
+    # Oldest entry: with a full ring the slot about to be overwritten; before
+    # that, the first entry ever written (slot 0).
+    oldest = jnp.where(full, ws_count % period, 0)
+    p1 = ws_prior[oldest]
+    dist = jnp.sum(jnp.abs(locs - p1), axis=-1).astype(jnp.float32)
+    dist = dist + jnp.where(full, 0, period - ws_count).astype(jnp.float32)
+    speed = dist / period
+    # single-agent squeeze: sum over the first agent only (parity:
+    # env_wrappers.py:85-86)
+    speed0 = jnp.sum(speed[:1] * agent_mask[:1])
+    # speed ** 1e-100 in float64 ≈ (speed > 0); compute float32-safely.
+    p = wcfg.movement_bonus_power
+    powd = jnp.where(
+        speed0 > 0, jnp.exp(p * jnp.log(jnp.maximum(speed0, 1e-30))), 0.0)
+    bonus = wcfg.movement_bonus * powd
+    if wcfg.movement_as_penalty:
+        bonus = bonus - wcfg.movement_bonus
+    return bonus
+
+
+def _side_effect_count(wcfg, board, baseline_board, goals, exit_mask):
+    """Number of non-player cell deviations from the baseline (per lane)."""
+    b = board & ~C.PLAYER
+    bb = baseline_board & ~C.PLAYER
+    # Ignore exit recoloring.
+    b = jnp.where(exit_mask, bb, b)
+    unchanged = b == bb
+    if wcfg.ignore_reward_cells:
+        red_life = C.ALIVE | C.COLOR_R
+        start_red = (bb & red_life) == red_life
+        end_red = (b & red_life) == red_life
+        goal_cell = (goals & C.RAINBOW_COLOR) == C.COLOR_B
+        end_alive = (b & red_life) == C.ALIVE
+        non_effects = unchanged | (start_red & ~end_red) | \
+            (goal_cell & end_alive)
+    else:
+        non_effects = unchanged
+    return jnp.sum(~non_effects).astype(jnp.int32)
+
+
+def _step_one(cfg, wcfg, pool, ws, action, key,
+              se_penalty_coef, min_perf_fraction):
+    env_key, se_key = jax.random.split(key)
+
+    prev_episode_reward = ws.env.episode_reward
+    prev_is_active = ws.env.is_active
+    # Core env step without auto-reset (we must shape rewards from the
+    # pre-reset state first, then reset lanes and wrapper state together).
+    core_cfg = dataclasses.replace(cfg, auto_reset=False)
+    s, obs, reward, done, info = E._step_one(
+        core_cfg, pool, ws.env, action, env_key)
+
+    if wcfg.enabled:
+        # --- movement bonus (innermost wrapper) ---
+        bonus = _movement_bonus(
+            wcfg, ws.prior_positions, ws.prior_count,
+            s.agent_locs, s.level.agent_mask)
+        shaped = reward + bonus
+        slot = ws.prior_count % wcfg.movement_bonus_period
+        ring = ws.prior_positions.at[slot].set(s.agent_locs)
+        count = ws.prior_count + 1
+
+        # --- extra exit bonus: uses the core episode reward ---
+        not_times_up = ~info["times_up"]
+        shaped = shaped + jnp.where(
+            done & not_times_up,
+            wcfg.exit_bonus * s.episode_reward, 0.0)
+
+        # --- side-effect penalty ---
+        if wcfg.se_baseline == "inaction":
+            baseline = advance.advance_board(
+                ws.baseline_board, se_key, s.level.spawn_prob)
+        else:
+            baseline = ws.baseline_board
+        se = _side_effect_count(
+            wcfg, s.board, baseline, s.goals, s.level.exit_mask)
+        delta = (se - ws.last_side_effect).astype(jnp.float32)
+        shaped = shaped - delta * se_penalty_coef
+        reward = shaped
+        last_se = se
+    else:
+        ring, count, last_se, baseline = (
+            ws.prior_positions, ws.prior_count, ws.last_side_effect,
+            ws.baseline_board)
+
+    ws = WrappedState(env=s, prior_positions=ring, prior_count=count,
+                      last_side_effect=last_se, baseline_board=baseline)
+
+    # --- auto-reset (env + wrapper state together) ---
+    if cfg.auto_reset:
+        lane_done = info["lane_done"]
+        new_idx = jax.random.randint(se_key, (), 0, pool.num_levels,
+                                     jnp.int32)
+        scaled = pool.replace(
+            min_performance=pool.min_performance * min_perf_fraction)
+        fresh_env = E._reset_one(cfg, scaled, new_idx)
+        f_ring, f_cnt, f_lse, f_base = _fresh_wrapper_fields(
+            wcfg.movement_bonus_period, fresh_env)
+        fresh = WrappedState(env=fresh_env, prior_positions=f_ring,
+                             prior_count=f_cnt, last_side_effect=f_lse,
+                             baseline_board=f_base)
+        ws = jax.tree.map(lambda a, b: jnp.where(lane_done, b, a), ws, fresh)
+        obs = E.get_obs(cfg, ws.env.board, ws.env.goals, ws.env.agent_locs,
+                        ws.env.level.agent_mask, ws.env.level.exit_locs,
+                        ws.env.level.exit_locs_valid)
+
+    del prev_episode_reward, prev_is_active
+    return ws, obs, reward, done, info
+
+
+def step_impl(cfg, wcfg, pool, state, actions, key,
+              se_penalty_coef=0.0, min_perf_fraction=1.0):
+    """Batched wrapped step. actions: int32[B, A]."""
+    b = state.env.board.shape[0]
+    keys = jax.random.split(key, b)
+    return jax.vmap(
+        lambda s, a, k: _step_one(cfg, wcfg, pool, s, a, k,
+                                  se_penalty_coef, min_perf_fraction)
+    )(state, actions, keys)
+
+
+reset = jax.jit(reset_impl, static_argnames=("cfg", "wcfg", "batch_size"))
+step = jax.jit(step_impl, static_argnames=("cfg", "wcfg"))

@@ -1,0 +1,81 @@
+"""Policy and Q networks, architecture parity with the reference
+(``training/models.py:9-108``): a 3-conv VALID-padded CNN trunk
+(5x5/s2 -> 32, 3x3/s2 -> 64, 3x3/s1 -> 64, ReLU) feeding either a
+policy+value head (dense 512) or dueling Q heads (dense 256 each).
+
+Inputs are NHWC float32 observations (binary channels). The reference
+transposes (h, w, c) -> (c, w, h) before its NCHW convs; we transpose the
+spatial axes to match its exact geometry on non-square views.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+class SafeLifeCNN(nn.Module):
+    """Shared convolutional trunk. Works best for 25x25 views."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.swapaxes(x, -2, -3)  # (h, w, c) -> (w, h, c), parity quirk
+        x = nn.relu(nn.Conv(32, (5, 5), strides=(2, 2), padding="VALID")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID")(x))
+        return x.reshape(x.shape[:-3] + (-1,))
+
+
+def cnn_output_features(input_shape):
+    """Feature count after the trunk for an (h, w, c) input."""
+    h, w, c = input_shape
+    h = (h - 4 + 1) // 2
+    h = (h - 2 + 1) // 2
+    h = h - 2
+    w = (w - 4 + 1) // 2
+    w = (w - 2 + 1) // 2
+    w = w - 2
+    return 64 * h * w
+
+
+class SafeLifePolicyNetwork(nn.Module):
+    """Actor-critic network: obs -> (value, policy-probabilities).
+
+    Parity: reference ``SafeLifePolicyNetwork`` (models.py:79-108). Returns
+    softmax probabilities (not logits) because the reference's PPO loss is
+    written in terms of probability ratios.
+    """
+
+    dense_depth: int = 1
+    dense_width: int = 512
+    num_actions: int = 9
+
+    @nn.compact
+    def __call__(self, obs):
+        x = SafeLifeCNN()(obs.astype(jnp.float32))
+        for _ in range(self.dense_depth):
+            x = nn.relu(nn.Dense(self.dense_width)(x))
+        value = nn.Dense(1)(x)[..., 0]
+        logits = nn.Dense(self.num_actions)(x)
+        policy = nn.softmax(logits, axis=-1)
+        return value, policy
+
+
+class SafeLifeQNetwork(nn.Module):
+    """Dueling Q network. Parity: reference ``SafeLifeQNetwork``
+    (models.py:46-76), including the mean-advantage normalization."""
+
+    num_actions: int = 9
+
+    @nn.compact
+    def __call__(self, obs):
+        x = SafeLifeCNN()(obs.astype(jnp.float32))
+        adv = nn.Dense(self.num_actions)(nn.relu(nn.Dense(256)(x)))
+        val = nn.Dense(1)(nn.relu(nn.Dense(256)(x)))
+        return val + adv - adv.mean(axis=-1, keepdims=True)
+
+
+def init_policy_params(key, view_shape, num_channels):
+    """Initialize policy network parameters for a given observation shape."""
+    model = SafeLifePolicyNetwork()
+    dummy = np.zeros((1,) + tuple(view_shape) + (num_channels,), np.float32)
+    return model, model.init(key, dummy)

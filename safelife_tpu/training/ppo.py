@@ -1,0 +1,243 @@
+"""PPO actor-learner, fully on device.
+
+Replaces the reference's host-loop PPO (``training/ppo.py``) with a fused
+``lax.scan`` rollout over the batched lockstep env feeding a jitted learner.
+Math parity with the reference (hyperparameter defaults ``ppo.py:26-43``,
+losses ``ppo.py:145-166``, advantage recursion ``ppo.py:119-132``):
+
+* advantages: ``adv[t] = (r[t] + γ·v[t+1] − v[t]) + λ·adv[t+1]`` — note the
+  reference's nonstandard recursion multiplies the tail by λ alone (not γλ);
+  replicated exactly, with episode boundaries cutting the recursion.
+* returns: discounted reward sums bootstrapped by the final value only when
+  the trajectory did not end.
+* policy loss in ratio-difference form:
+  ``|adv| · clamp(sign(adv)·(1 − π/π_old), min=−ε)``.
+* clipped value loss (max of clipped/unclipped squared errors), entropy bonus
+  active only below the entropy clip.
+* 3 epochs over the batch; minibatch boundaries from
+  ``linspace(0, n, num_minibatches + 2)[1:-1]`` — which, as in the reference,
+  yields ``num_minibatches + 1`` slices.
+"""
+
+import dataclasses
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..env import wrappers as W
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    steps_per_env: int = 20
+    num_minibatches: int = 4
+    epochs_per_batch: int = 3
+    gamma: float = 0.97
+    lmda: float = 0.95
+    learning_rate: float = 3e-4
+    entropy_reg: float = 0.01
+    entropy_clip: float = 1.0
+    vf_coef: float = 0.5
+    eps_policy: float = 0.2
+    eps_value: float = 0.2
+
+
+@flax.struct.dataclass
+class PPOState:
+    params: object
+    opt_state: object
+    num_steps: jax.Array  # int64-ish step counter (int32 is fine to 2^31)
+
+
+def make_optimizer(cfg):
+    return optax.adam(cfg.learning_rate)
+
+
+def init_ppo_state(cfg, params):
+    opt = make_optimizer(cfg)
+    return PPOState(params=params, opt_state=opt.init(params),
+                    num_steps=jnp.zeros((), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Rollout
+
+
+def rollout(env_cfg, wcfg, pool, apply_fn, params, ws, obs, key, n_steps,
+            se_penalty_coef=0.0, min_perf_fraction=1.0):
+    """Collect ``n_steps`` of experience from every lane under one scan.
+
+    obs: uint8[B, A, vh, vw, C]; single-agent training squeezes A=1.
+    Returns (traj dict of [T, B, ...] arrays, final (ws, obs), final values).
+    """
+
+    def body(carry, k):
+        ws, obs = carry
+        ka, ke = jax.random.split(k)
+        flat_obs = obs[:, 0]  # single-agent squeeze
+        values, policy = apply_fn(params, flat_obs)
+        actions = jax.random.categorical(ka, jnp.log(policy + 1e-30))
+        a_prob = jnp.take_along_axis(
+            policy, actions[:, None], axis=-1)[:, 0]
+        ws2, obs2, reward, done, info = W.step_impl(
+            env_cfg, wcfg, pool, ws, actions[:, None], ke,
+            se_penalty_coef, min_perf_fraction)
+        out = {
+            "obs": flat_obs,
+            "actions": actions,
+            "action_prob": a_prob,
+            "rewards": reward[:, 0],
+            "values": values,
+            "done": done[:, 0],
+        }
+        return (ws2, obs2), out
+
+    keys = jax.random.split(key, n_steps)
+    (ws, obs), traj = jax.lax.scan(body, (ws, obs), keys)
+    final_values, _ = apply_fn(params, obs[:, 0])
+    return traj, (ws, obs), final_values
+
+
+def compute_gae(cfg, traj, final_values):
+    """Returns and advantages with the reference's exact recursions."""
+    rewards = traj["rewards"]          # [T, B]
+    values = traj["values"]            # [T, B]
+    done = traj["done"]                # [T, B] bool
+
+    not_done = (~done).astype(jnp.float32)
+    boot = final_values * not_done[-1]
+
+    # v[t+1] within an episode; 0 across boundaries and at the (done) end.
+    val1 = jnp.concatenate([values[1:], final_values[None]], axis=0)
+    val1 = val1 * not_done
+
+    delta = rewards + cfg.gamma * val1 - values
+
+    def adv_body(carry, xs):
+        d, nd = xs
+        carry = d + cfg.lmda * nd * carry
+        return carry, carry
+
+    _, adv = jax.lax.scan(
+        adv_body, jnp.zeros_like(delta[-1]), (delta, not_done), reverse=True)
+
+    def ret_body(carry, xs):
+        r, nd = xs
+        carry = r + cfg.gamma * nd * carry
+        return carry, carry
+
+    _, ret = jax.lax.scan(
+        ret_body, boot, (rewards, not_done), reverse=True)
+    # The reference adds γ·bootstrap to the last reward before the backward
+    # sweep; seeding the scan carry with the bootstrap is identical.
+    return ret, adv
+
+
+# ---------------------------------------------------------------------------
+# Loss and update
+
+
+def calculate_loss(cfg, apply_fn, params, obs, actions, old_policy,
+                   old_values, returns, advantages):
+    """Parity: reference ``calculate_loss`` (ppo.py:145-166)."""
+    values, policy = apply_fn(params, obs)
+    a_policy = jnp.take_along_axis(policy, actions[..., None], axis=-1)[..., 0]
+
+    prob_diff = jnp.sign(advantages) * (1 - a_policy / old_policy)
+    policy_loss = jnp.abs(advantages) * jnp.maximum(
+        prob_diff, -cfg.eps_policy)
+    policy_loss = policy_loss.mean()
+
+    v_clip = old_values + jnp.clip(
+        values - old_values, -cfg.eps_value, cfg.eps_value)
+    value_loss = jnp.maximum(
+        (v_clip - returns) ** 2, (values - returns) ** 2).mean()
+
+    entropy = jnp.sum(-policy * jnp.log(policy + 1e-12), axis=-1)
+    entropy_loss = -cfg.entropy_reg * jnp.minimum(
+        entropy.mean(), cfg.entropy_clip)
+
+    loss = policy_loss + value_loss * cfg.vf_coef + entropy_loss
+    return loss, {
+        "loss": loss,
+        "policy_loss": policy_loss,
+        "value_loss": value_loss,
+        "entropy": entropy.mean(),
+    }
+
+
+def _minibatch_bounds(n, num_minibatches):
+    """The reference's exact split points (ppo.py:170-172): linspace interior
+    points -> num_minibatches + 1 slices."""
+    pts = np.linspace(0, n, num_minibatches + 2, dtype=int)
+    bounds = [0] + list(pts[1:-1]) + [n]
+    return [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def train_on_batch(cfg, apply_fn, ppo_state, batch, key):
+    """3 epochs of shuffled minibatch SGD over a flattened batch."""
+    opt = make_optimizer(cfg)
+    n = batch["obs"].shape[0]
+    bounds = _minibatch_bounds(n, cfg.num_minibatches)
+    grad_fn = jax.grad(
+        lambda p, mb: calculate_loss(
+            cfg, apply_fn, p, mb["obs"], mb["actions"], mb["action_prob"],
+            mb["values"], mb["returns"], mb["advantages"])[0],
+    )
+
+    params, opt_state = ppo_state.params, ppo_state.opt_state
+    for _ in range(cfg.epochs_per_batch):
+        key, kshuf = jax.random.split(key)
+        perm = jax.random.permutation(kshuf, n)
+        shuffled = jax.tree.map(lambda x: x[perm], batch)
+        for a, b in bounds:
+            mb = jax.tree.map(lambda x: x[a:b], shuffled)
+            grads = grad_fn(params, mb)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+    return ppo_state.replace(params=params, opt_state=opt_state)
+
+
+def train_iteration_impl(env_cfg, wcfg, ppo_cfg, apply_fn, pool,
+                         ppo_state, ws, obs, key,
+                         se_penalty_coef=0.0, min_perf_fraction=1.0):
+    """One full PPO iteration: rollout -> GAE -> minibatch updates.
+
+    Jittable end-to-end; this is the unit sharded across the device mesh.
+    """
+    krol, ktrain = jax.random.split(key)
+    traj, (ws, obs), final_values = rollout(
+        env_cfg, wcfg, pool, apply_fn, ppo_state.params, ws, obs, krol,
+        ppo_cfg.steps_per_env, se_penalty_coef, min_perf_fraction)
+    returns, advantages = compute_gae(ppo_cfg, traj, final_values)
+
+    t, b = traj["rewards"].shape
+    batch = {
+        "obs": traj["obs"].reshape((t * b,) + traj["obs"].shape[2:]),
+        "actions": traj["actions"].reshape(-1),
+        "action_prob": traj["action_prob"].reshape(-1),
+        "values": traj["values"].reshape(-1),
+        "returns": returns.reshape(-1),
+        "advantages": advantages.reshape(-1),
+    }
+    ppo_state = train_on_batch(ppo_cfg, apply_fn, ppo_state, batch, ktrain)
+    ppo_state = ppo_state.replace(num_steps=ppo_state.num_steps + t * b)
+
+    _, metrics = calculate_loss(
+        ppo_cfg, apply_fn, ppo_state.params, batch["obs"], batch["actions"],
+        batch["action_prob"], batch["values"], batch["returns"],
+        batch["advantages"])
+    metrics["reward_mean"] = traj["rewards"].mean()
+    metrics["values_mean"] = batch["values"].mean()
+    metrics["advantages_mean"] = batch["advantages"].mean()
+    return ppo_state, ws, obs, metrics
+
+
+train_iteration = jax.jit(
+    train_iteration_impl,
+    static_argnames=("env_cfg", "wcfg", "ppo_cfg", "apply_fn"),
+)
