@@ -84,11 +84,11 @@ def goals_are_static(goals):
     consume zero RNG draws, so skipping their advance preserves the exact
     reference RNG stream.
     """
-    g = jnp.asarray(goals, jnp.int32)
-    adv = advance.advance_board_deterministic(g)
-    has_spawn = bool(np.asarray((adv & C.SPAWNING).any()))
-    same = bool(np.asarray((adv == g).all()))
-    return (not has_spawn) and same
+    from ..core.advance_np import advance_board_np
+
+    g = np.asarray(goals).astype(np.int64)
+    adv = advance_board_np(g)
+    return (not (adv & C.SPAWNING).any()) and (adv == g).all()
 
 
 def pack_levels(levels, pad_agents=None, pad_exits=None):

@@ -1,0 +1,234 @@
+"""Level supply: iterators over static files and procedural generation,
+plus a device-pool manager for lockstep training.
+
+Parity: reference ``safelife/level_iterator.py`` — path resolution with
+level-directory fallback, async pregeneration via a multiprocessing pool,
+per-level ``SeedSequence.spawn`` seeding (the reproducible-seeding
+contract), the ``distinct_levels`` cache, and the overridable
+``get_next_parameters`` hook used by curriculum iterators.
+
+New for the TPU design: :class:`LevelPoolManager` keeps a packed
+:class:`~safelife_tpu.env.state.LevelBatch` on device and swaps freshly
+generated levels into it between training iterations — the lockstep-env
+analog of the reference's queue of pregenerated game objects.
+"""
+
+import multiprocessing
+import os
+import queue
+import signal
+
+import numpy as np
+import yaml
+
+from ..utils.rng import set_rng
+from . import levels as L
+
+
+def _load_param_file(file_name):
+    with open(file_name) as f:
+        data = yaml.safe_load(f)
+
+    # Merge with the defaults file packaged next to the param file when one
+    # exists (this lets reference level trees keep their own defaults);
+    # otherwise fall back to our packaged defaults.
+    candidates = [
+        os.path.join(os.path.dirname(file_name), "_defaults.yaml"),
+        os.path.join(L.LEVEL_DIRECTORY, "random", "_defaults.yaml"),
+    ]
+    defaults = {}
+    for c in candidates:
+        if os.path.exists(c) and os.path.abspath(c) != \
+                os.path.abspath(file_name):
+            with open(c) as f:
+                defaults = yaml.safe_load(f) or {}
+            break
+    merged = {**defaults, **(data or {})}
+    for key in ("named_regions", "agent_types"):
+        merged[key] = {**defaults.get(key, {}), **(data or {}).get(key, {})}
+    return merged
+
+
+def load_files(paths):
+    """Resolve paths into [(name, kind, data)] entries; kind is 'procgen'
+    or 'static'."""
+    if not paths:
+        return [[None, "procgen", {}]]
+    out = []
+    for file_name in L.find_files(*paths):
+        if file_name.endswith((".yaml", ".json")):
+            out.append([file_name, "procgen", _load_param_file(file_name)])
+        else:
+            for lv in L.load_levels_npz(file_name):
+                name = os.path.join(file_name[:-4], lv.name) \
+                    if lv.name else file_name
+                out.append([name, "static", lv])
+    return out
+
+
+def _level_from_data(file_name, data_type, data, seed=None):
+    from ..procgen.generate import gen_game
+
+    if data_type == "procgen":
+        with set_rng(np.random.default_rng(seed)):
+            lv = gen_game(**data)
+    else:
+        lv = data.copy()
+    if file_name:
+        lv.name = os.path.basename(str(file_name)).replace(".yaml", "") \
+            .replace(".json", "")
+        if seed is not None and getattr(seed, "spawn_key", None):
+            lv.name += "-e" + str(seed.spawn_key[-1])
+    return lv
+
+
+def _init_worker():
+    signal.signal(signal.SIGINT, signal.SIG_IGN)
+
+
+class SafeLifeLevelIterator:
+    """Yields :class:`~safelife_tpu.io.levels.Level` objects from files or
+    procgen parameters. See the module docstring for parity notes."""
+
+    def __init__(self, *paths, repeat_levels=None, distinct_levels=None,
+                 num_workers=0, max_queue=10, seed=None):
+        self.file_data = load_files(paths)
+        self.level_cache = []
+
+        if repeat_levels is None:
+            repeat_levels = any(d[1] == "procgen" for d in self.file_data)
+        self.repeat_levels = repeat_levels
+        self.distinct_levels = distinct_levels
+        self.num_workers = num_workers
+        self.max_queue = max_queue if num_workers > 0 else 1
+        self.results = None
+        self.pool = None
+        self.idx = 0
+        self.seed(seed)
+
+    def seed(self, seed):
+        if not isinstance(seed, np.random.SeedSequence):
+            seed = np.random.SeedSequence(seed)
+        self._seed = seed
+
+    def get_next_parameters(self):
+        """Parameters for the next level; override for curricula."""
+        return self.file_data[self.idx % len(self.file_data)]
+
+    def fill_queue(self):
+        if self.results is None:
+            self.results = queue.deque(maxlen=self.max_queue)
+        if self.num_workers > 0 and self.pool is None:
+            self.pool = multiprocessing.Pool(
+                processes=self.num_workers, initializer=_init_worker)
+        while len(self.results) < self.max_queue:
+            if self.distinct_levels is not None \
+                    and self.idx >= self.distinct_levels:
+                break
+            if not self.repeat_levels and self.idx >= len(self.file_data):
+                break
+            data = self.get_next_parameters()
+            if data is None:
+                break
+            self.idx += 1
+            kwargs = {"seed": self._seed.spawn(1)[0]}
+            if self.num_workers > 0:
+                result = self.pool.apply_async(
+                    _level_from_data, data, kwargs)
+            else:
+                result = _level_from_data(*data, **kwargs)
+            self.results.append((data, result))
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        if self.num_workers > 0:
+            state["pool"] = None
+            state["results"] = queue.deque(
+                [r.get() if hasattr(r, "get") else r for r in self.results],
+                maxlen=self.max_queue)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self.fill_queue()
+        if not self.results and self.distinct_levels is not None:
+            if not self.repeat_levels and self.idx >= self.distinct_levels:
+                raise StopIteration
+            data = self.level_cache[self.idx % self.distinct_levels]
+            result = _level_from_data(*data)
+            self.idx += 1
+        elif not self.results:
+            raise StopIteration
+        else:
+            data, result = self.results.popleft()
+        if hasattr(result, "get"):
+            result = result.get()
+        if (self.distinct_levels is not None
+                and len(self.level_cache) < self.distinct_levels):
+            if data[1] == "procgen":
+                data = (data[0], "static", result.copy())
+            self.level_cache.append(data)
+        return result
+
+
+class LevelPoolManager:
+    """Maintains a device-resident level pool refreshed from an iterator.
+
+    Training lanes auto-reset by sampling the pool on device; between
+    training iterations, call :meth:`refresh` to swap newly generated levels
+    into pool slots (round-robin), keeping level diversity without ever
+    blocking the device on the generator.
+    """
+
+    def __init__(self, iterator, pool_size=64, pad_agents=None,
+                 pad_exits=None):
+        from ..env.state import pack_levels
+
+        self._pack = pack_levels
+        self.iterator = iterator
+        self.pad_agents = pad_agents
+        self.pad_exits = pad_exits
+        levels = [next(iterator) for _ in range(pool_size)]
+        self._host_levels = levels
+        self.pool = self._pack(levels, pad_agents, pad_exits)
+        self._slot = 0
+
+    def refresh(self, max_new=8):
+        """Pull up to ``max_new`` ready levels and swap them into the pool.
+
+        With a worker-backed iterator this only consumes already-finished
+        results; generation latency overlaps device compute.
+        """
+        import jax.numpy as jnp
+
+        new = []
+        for _ in range(max_new):
+            if self.iterator.num_workers > 0:
+                self.iterator.fill_queue()
+                if not self.iterator.results or not \
+                        self.iterator.results[0][1].ready():
+                    break
+            try:
+                new.append(next(self.iterator))
+            except StopIteration:
+                break
+        if not new:
+            return 0
+        for lv in new:
+            self._host_levels[self._slot] = lv
+            self._slot = (self._slot + 1) % len(self._host_levels)
+        fresh = self._pack(new, self.pool.agent_locs.shape[-2],
+                           self.pool.exit_locs.shape[-2])
+        idx = jnp.asarray(
+            [(self._slot - len(new) + i) % len(self._host_levels)
+             for i in range(len(new))], jnp.int32)
+        import jax
+
+        self.pool = jax.tree.map(
+            lambda p, f: p.at[idx].set(f), self.pool, fresh)
+        return len(new)

@@ -1,0 +1,213 @@
+"""Procedural generation tests: partitioning invariants, fence containment,
+annealed patterns, the full gen_game pipeline, wrapped labeling, and
+host/device advance equivalence."""
+
+import numpy as np
+import pytest
+
+import oracle as O
+from conftest import random_board
+from safelife_tpu.core import cells as C
+from safelife_tpu.core.advance_np import advance_board_np
+from safelife_tpu.procgen import pattern as P
+from safelife_tpu.procgen.generate import (
+    fix_random_values, gen_game, populate_region, stability_mask)
+from safelife_tpu.procgen.regions import build_fence, make_partitioned_regions
+from safelife_tpu.utils.rng import set_rng
+
+
+class TestAdvanceNp:
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_oracle(self, seed):
+        rng = np.random.default_rng(seed)
+        b = random_board(rng, (12, 12))
+        ours = advance_board_np(b)
+        theirs = O.advance_board(b, rng)
+        assert (ours == theirs).all()
+
+
+class TestPartitioning:
+    def test_regions_are_separated(self):
+        with set_rng(np.random.default_rng(0)):
+            regions = make_partitioned_regions((26, 26), max_regions=4)
+        ids = [k for k in np.unique(regions) if k > 0]
+        assert 2 <= len(ids) <= 4
+        # Distinct regions never touch (8-neighborhood separation).
+        for k in ids:
+            mask = regions == k
+            grown = np.zeros_like(mask)
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    grown |= np.roll(np.roll(mask, dr, 0), dc, 1)
+            others = (regions > 0) & (regions != k)
+            assert not (grown & others).any()
+
+
+class TestFence:
+    def test_fence_contains_life(self):
+        # A fully fenced region: no life strictly inside can ever escape.
+        with set_rng(np.random.default_rng(1)):
+            mask = np.zeros((16, 16), np.int32)
+            mask[4:12, 4:12] = 1
+            fence = build_fence(mask)
+        # Fill the region with a worst-case block of life and advance.
+        board = np.zeros((16, 16), np.int64)
+        board[mask.astype(bool)] = O.ALIVE
+        board[fence.astype(bool)] = O.FROZEN
+        rng = np.random.default_rng(0)
+        outside = ~(mask.astype(bool)
+                    | np.roll(np.roll(mask, 1, 0), 0, 1).astype(bool))
+        b = board
+        for _ in range(8):
+            b = O.advance_board(b, rng)
+        # No life outside the fenced area + one-cell border.
+        grown = mask.astype(bool)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                grown |= np.roll(np.roll(mask.astype(bool), dr, 0), dc, 1)
+        assert not ((b & O.ALIVE).astype(bool) & ~grown).any()
+
+
+class TestRandomDSL:
+    def test_uniform(self):
+        with set_rng(np.random.default_rng(0)):
+            v = fix_random_values({"uniform": [2.0, 3.0]})
+        assert 2.0 <= v <= 3.0
+
+    def test_choices(self):
+        with set_rng(np.random.default_rng(0)):
+            v = fix_random_values({"choices": ["a", "b"]})
+        assert v in ("a", "b")
+
+    def test_weighted_choices(self):
+        with set_rng(np.random.default_rng(0)):
+            v = fix_random_values({"choices": {"a": 0, "b": 1}})
+        assert v == "b"
+
+    def test_nested(self):
+        with set_rng(np.random.default_rng(0)):
+            v = fix_random_values({"x": {"uniform": [0, 1]}, "y": 3})
+        assert 0 <= v["x"] <= 1 and v["y"] == 3
+
+
+class TestGenPattern:
+    def test_still_life_is_stable(self):
+        rng = np.random.default_rng(5)
+        mask = np.full((14, 14), 7, np.int32)
+        out = P.gen_pattern(np.zeros((14, 14), np.uint16), mask,
+                            period=1, min_fill=0.15, rng=rng)
+        assert (advance_board_np(out) == out).all()
+        assert (out != 0).mean() >= 0.1
+
+    def test_insufficient_area(self):
+        with pytest.raises(P.InsufficientAreaException):
+            P.gen_pattern(np.zeros((8, 8), np.uint16),
+                          np.zeros((8, 8), np.int32),
+                          rng=np.random.default_rng(0))
+
+    def test_python_fallback_agrees_on_tiny_board(self):
+        # The pure-Python annealer and the C++ annealer implement the same
+        # MCMC; check both produce valid still lifes on a small board.
+        rng = np.random.default_rng(2)
+        mask = np.full((8, 8), 7, np.int32)
+        import os
+        out_cpp = P.gen_pattern(np.zeros((8, 8), np.uint16), mask,
+                                period=1, min_fill=0.1, rng=rng)
+        os.environ["SAFELIFE_TPU_NO_NATIVE"] = "1"
+        try:
+            from safelife_tpu import native
+            native._lib = None
+            out_py = P.gen_pattern(np.zeros((8, 8), np.uint16), mask,
+                                   period=1, min_fill=0.1, rng=rng)
+        finally:
+            del os.environ["SAFELIFE_TPU_NO_NATIVE"]
+            native._lib = None
+        for out in (out_cpp, out_py):
+            assert (advance_board_np(out) == out).all()
+            assert (out != 0).any()
+
+
+class TestWrappedLabel:
+    def test_wrap_connectivity(self):
+        data = np.zeros((6, 6), np.int32)
+        data[0, 0] = data[5, 5] = data[0, 5] = data[5, 0] = 1
+        labels, n = P.wrapped_label(data)
+        assert n == 1  # corners all touch through the wrap
+
+    def test_distinct_components(self):
+        data = np.zeros((8, 8), np.int32)
+        data[1, 1] = 1
+        data[5, 5] = 1
+        labels, n = P.wrapped_label(data)
+        assert n == 2
+        assert labels[1, 1] != labels[5, 5]
+
+    def test_agrees_with_python(self):
+        rng = np.random.default_rng(0)
+        data = (rng.random((10, 10)) < 0.4).astype(np.int32)
+        l1, n1 = P.wrapped_label(data)
+        l2, n2 = P._wrapped_label_python(data)
+        assert n1 == n2
+        # label names may differ; compare partitions
+        for k in range(1, n1 + 1):
+            cells = l1 == k
+            assert len(np.unique(l2[cells])) == 1
+
+
+class TestGenGame:
+    def test_append_still_structure(self):
+        with set_rng(np.random.default_rng(3)):
+            from safelife_tpu.io.iterator import _load_param_file
+            import os
+            from safelife_tpu.io.levels import LEVEL_DIRECTORY
+            params = _load_param_file(
+                os.path.join(LEVEL_DIRECTORY, "random/append-still.yaml"))
+            lv = gen_game(**params)
+        assert lv.num_agents == 1
+        assert (lv.board[tuple(lv.agent_locs[0])] & C.AGENT)
+        assert ((lv.board & (C.EXIT | C.AGENT)) == C.EXIT).any()
+        assert ((lv.goals & C.RAINBOW_COLOR) == C.COLOR_B).sum() > 5
+        assert lv.min_performance == 0.5
+
+    def test_seeding_reproducibility(self):
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+        lvs1 = [next(SafeLifeLevelIterator("random/prune-still", seed=11))
+                for _ in range(1)]
+        lvs2 = [next(SafeLifeLevelIterator("random/prune-still", seed=11))
+                for _ in range(1)]
+        assert (lvs1[0].board == lvs2[0].board).all()
+        assert (lvs1[0].goals == lvs2[0].goals).all()
+
+    def test_playable_in_env(self):
+        import jax
+        import jax.numpy as jnp
+
+        from safelife_tpu.env import env as E
+        from safelife_tpu.env.state import pack_levels
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+
+        it = SafeLifeLevelIterator("random/append-still", seed=5)
+        pool = pack_levels([next(it) for _ in range(2)])
+        cfg = E.EnvConfig(view_shape=(25, 25), auto_reset=True)
+        state, obs = E.reset(cfg, pool, jax.random.PRNGKey(0), 4)
+        key = jax.random.PRNGKey(1)
+        for _ in range(10):
+            key, k1, k2 = jax.random.split(key, 3)
+            acts = jax.random.randint(k1, (4, 1), 0, 9, jnp.int32)
+            state, obs, reward, done, info = E.step(cfg, pool, state,
+                                                    acts, k2)
+        assert np.isfinite(np.asarray(reward)).all()
+
+
+class TestStabilityMask:
+    def test_still_life_is_stable_region(self):
+        board = np.zeros((12, 12), np.int64)
+        board[4:6, 4:6] = C.LIFE  # block
+        mask = stability_mask(board, period=2)
+        assert mask[4, 4] and mask[5, 5]
+
+    def test_unstable_region_excluded(self):
+        board = np.zeros((12, 12), np.int64)
+        board[4:7, 4] = C.LIFE  # blinker: stable period 2, unstable period 1
+        assert stability_mask(board, period=2).any()
+        assert not stability_mask(board, period=1)[4:7, 4].all()
