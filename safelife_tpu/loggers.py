@@ -307,6 +307,8 @@ def load_safelife_log(logfile, default_values={}):
     for entry in data:
         keys |= set(entry.keys())
     for key in keys:
+        if key == 'side_effects':
+            continue  # flattened into 'side_effects.<type>' below
         vals = []
         for entry in data:
             val = entry.get(key, default_values.get(key, np.nan))
