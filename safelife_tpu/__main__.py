@@ -1,0 +1,167 @@
+"""Command-line interface: ``python -m safelife_tpu <command>``.
+
+Subcommands (parity: reference ``safelife/__main__.py`` +
+``start-training.py``):
+
+* ``train``  — run PPO/DQN training on a task.
+* ``print``  — generate/load levels and print them to the terminal.
+* ``play``   — interactive terminal game.
+* ``new``    — generate levels and save them to disk.
+* ``render`` — render level files to png/gif/mp4.
+* ``bench``  — environment throughput benchmark.
+"""
+
+import argparse
+import json
+import logging
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="safelife_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_train = sub.add_parser("train", help="train an agent")
+    p_train.add_argument("data_dir", nargs="?", default=None,
+                         help="directory for logs/checkpoints")
+    p_train.add_argument("--algo", choices=("ppo", "dqn"), default="ppo")
+    p_train.add_argument("-e", "--env-type", default="append-still")
+    p_train.add_argument("--steps", type=float, default=6e6)
+    p_train.add_argument("--batch", type=int, default=64)
+    p_train.add_argument("--seed", type=int, default=None)
+    p_train.add_argument("--benchmark-episodes", type=int, default=1000)
+    p_train.add_argument("--skip-benchmark", action="store_true")
+    p_train.add_argument("-x", "--extra-params", default=None, help=(
+        "JSON dict of config overrides, e.g. "
+        "'{\"ppo.gamma\": 0.99, \"side_effect.penalty\": 0.5}'"))
+
+    p_print = sub.add_parser("print", help="print levels to the terminal")
+    p_print.add_argument("paths", nargs="+")
+    p_print.add_argument("--seed", type=int, default=None)
+    p_print.add_argument("-n", "--num", type=int, default=1)
+
+    p_play = sub.add_parser("play", help="interactive terminal game")
+    p_play.add_argument("paths", nargs="*", default=["random/append-still"])
+    p_play.add_argument("--seed", type=int, default=None)
+    p_play.add_argument("--centered", action="store_true")
+
+    p_new = sub.add_parser("new", help="generate and save levels")
+    p_new.add_argument("param_file")
+    p_new.add_argument("out", help="output file or directory")
+    p_new.add_argument("-n", "--num", type=int, default=1)
+    p_new.add_argument("--seed", type=int, default=None)
+    p_new.add_argument("--archive", action="store_true",
+                       help="pack all levels into one npz archive")
+
+    p_render = sub.add_parser("render", help="render levels to images/video")
+    p_render.add_argument("paths", nargs="+")
+    p_render.add_argument("--steps", type=int, default=0,
+                          help="evolve the board and render a movie")
+    p_render.add_argument("--fmt", default=None,
+                          choices=(None, "png", "gif", "mp4"))
+
+    sub.add_parser("bench", help="run the environment benchmark")
+
+    args = parser.parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+
+    if args.cmd == "train":
+        cmd_train(args)
+    elif args.cmd == "print":
+        cmd_print(args)
+    elif args.cmd == "play":
+        from .interactive import play_cmd
+        play_cmd(args)
+    elif args.cmd == "new":
+        cmd_new(args)
+    elif args.cmd == "render":
+        cmd_render(args)
+    elif args.cmd == "bench":
+        import runpy
+        import os
+        runpy.run_path(os.path.join(os.path.dirname(
+            os.path.dirname(__file__)), "bench.py"), run_name="__main__")
+
+
+def cmd_train(args):
+    import jax
+
+    from .training import train as T
+    from .training.env_factory import build_environments
+    from .training.global_config import config
+
+    if args.extra_params:
+        config.update(json.loads(args.extra_params))
+    config["env_type"] = args.env_type
+    if args.seed is not None:
+        config["seed"] = args.seed
+
+    bundle = build_environments(config, data_dir=args.data_dir)
+    if args.algo == "ppo":
+        model, state = T.train_ppo(
+            bundle, total_steps=args.steps, batch_size=args.batch,
+            seed=args.seed or 0, data_dir=args.data_dir)
+        params = state.params
+    else:
+        model, state = T.train_dqn(
+            bundle, total_steps=args.steps, batch_size=args.batch,
+            seed=args.seed or 0, data_dir=args.data_dir)
+        params = state.params
+    if not args.skip_benchmark and bundle.benchmark_levels:
+        T.run_benchmark(model, params, bundle, args.data_dir,
+                        jax.random.PRNGKey(args.seed or 0),
+                        num_episodes=args.benchmark_episodes)
+    config.check_for_unused()
+
+
+def _iter_levels(paths, seed, num):
+    from .io.iterator import SafeLifeLevelIterator
+
+    it = SafeLifeLevelIterator(*paths, seed=seed)
+    for _ in range(num):
+        try:
+            yield next(it)
+        except StopIteration:
+            return
+
+
+def cmd_print(args):
+    from .render.text import render_board
+
+    for lv in _iter_levels(args.paths, args.seed, args.num):
+        print("#", lv.name)
+        sys.stdout.write(render_board(lv.board, lv.goals))
+        print()
+
+
+def cmd_new(args):
+    import os
+
+    from .io.levels import save_archive, save_level
+
+    levels = list(_iter_levels([args.param_file], args.seed, args.num))
+    if args.archive or args.out.endswith(".npz") and args.num > 1:
+        save_archive(levels, args.out)
+        print("wrote %d levels to %s" % (len(levels), args.out))
+    elif args.num == 1:
+        save_level(levels[0], args.out)
+        print("wrote %s" % args.out)
+    else:
+        os.makedirs(args.out, exist_ok=True)
+        for i, lv in enumerate(levels):
+            save_level(lv, os.path.join(args.out, "level-%03d.npz" % i))
+        print("wrote %d levels to %s/" % (len(levels), args.out))
+
+
+def cmd_render(args):
+    from .render.graphics import render_file
+
+    for path in args.paths:
+        out = render_file(path, steps=args.steps, movie_format=args.fmt)
+        print("rendered", out)
+
+
+if __name__ == "__main__":
+    main()

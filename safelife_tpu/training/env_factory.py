@@ -1,0 +1,277 @@
+"""Environment construction for training runs.
+
+Parity: reference ``training/env_factory.py`` — the task-type registry
+(same task names), linear schedules driven by the logger's cumulative
+training steps, curriculum and coin-flip switching level iterators, the
+15-channel training observation set, validation envs on a pinned seed, and
+benchmark env setup. The factory returns an :class:`EnvBundle` of functional
+pieces (configs, device level pools, schedules, loggers) instead of wrapped
+gym objects.
+"""
+
+import dataclasses
+import logging
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from ..core import cells as C
+from ..env import env as E, wrappers as W
+from ..io.iterator import LevelPoolManager, SafeLifeLevelIterator
+from ..io.levels import load_levels
+from ..loggers import SafeLifeLogger
+from ..utils.rng import coinflip
+
+logger = logging.getLogger(__name__)
+
+#: The training observation channel set (parity: env_factory.py:311-327).
+TRAINING_CHANNELS = (
+    C.ALIVE_BIT, C.AGENT_BIT, C.PUSHABLE_BIT, C.DESTRUCTIBLE_BIT,
+    C.FROZEN_BIT, C.SPAWNING_BIT, C.EXIT_BIT,
+    C.COLOR_BIT + 0, C.COLOR_BIT + 1, C.COLOR_BIT + 2,
+    C.COLOR_BIT + 16, C.COLOR_BIT + 17, C.COLOR_BIT + 18,
+    C.ORIENTATION_BIT + 0, C.ORIENTATION_BIT + 1,
+)
+
+SIDE_EFFECT_WEIGHTS = {"life-green": 1.0, "spawner-yellow": 2.0}
+
+VALIDATION_SEED = 732230218323780641
+
+
+class LinearSchedule:
+    """Piecewise-linear schedule over cumulative training steps
+    (parity: env_factory.py:29-48)."""
+
+    def __init__(self, logger, t, y):
+        self.logger = logger
+        self.t = np.asarray(t, float)
+        self.y = np.asarray(y, float)
+
+    def __call__(self):
+        step = self.logger.cumulative_stats.get("training_steps", 0)
+        return float(np.interp(step, self.t, self.y))
+
+
+class SwitchingLevelIterator(SafeLifeLevelIterator):
+    """Coin-flip between two level types with a scheduled probability
+    (parity: env_factory.py:155-174)."""
+
+    def __init__(self, level1, level2, p_switch, **kwargs):
+        super().__init__(level1, level2, **kwargs)
+        self.p_switch = p_switch
+
+    def get_next_parameters(self):
+        if coinflip(self.p_switch()):
+            return self.file_data[1]
+        return self.file_data[0]
+
+
+class CurricularLevelIterator(SafeLifeLevelIterator):
+    """Softmax curriculum over per-level progress slopes
+    (parity: env_factory.py:51-152)."""
+
+    progression_lottery_ticket = 0.9
+    eval_lookback = 10
+    eval_nth_best = 3
+    lookback = 100
+    curriculum_distribution = "progress_estimate"  # or "uniform"
+
+    def __init__(self, *levels, logger=None, curriculum_params={}, **kwargs):
+        super().__init__(*levels, repeat_levels=True, **kwargs)
+        self.logger = logger
+        self.max_stage = len(levels) - 1
+        self.perf_records = defaultdict(lambda: [0.0])
+        self.best = defaultdict(lambda: 0.0)
+        for k, v in curriculum_params.items():
+            setattr(self, k, v)
+
+    def update_result_records(self):
+        results = getattr(self.logger, "last_data", None)
+        if results is None:
+            return
+        reward = np.array(results.get("reward", 0.0))
+        possible = np.array(results.get("reward_possible", 1.0))
+        filename = results.get("level_name")
+        if reward.size > 0 and filename:
+            perf = float(np.average(reward / np.maximum(possible, 1e-9)))
+            if not np.isfinite(perf):
+                perf = 0.0
+            self.perf_records[filename].append(perf)
+            if perf > self.best[filename]:
+                self.best[filename] = perf
+
+    def get_next_parameters(self):
+        from scipy.special import softmax
+
+        self.update_result_records()
+        progress = 0.2 * np.ones(self.max_stage + 1) / self.lookback
+        for i, entry in enumerate(self.file_data):
+            level = entry[0]
+            recs = self.perf_records[level]
+            if len(recs) >= self.lookback:
+                m, _ = np.polyfit(np.arange(self.lookback),
+                                  recs[-self.lookback:], 1)
+                progress[i] = 10 * m
+        scale = np.min(np.abs(progress))
+        progress = progress.clip(0, None) / max(scale, 1e-12)
+        progress[~np.isfinite(progress)] = 0.0
+        if self.curriculum_distribution == "progress_estimate":
+            probabilities = softmax(progress)
+        else:
+            probabilities = np.ones(self.max_stage + 1) / \
+                (self.max_stage + 1)
+        from ..utils.rng import get_rng
+        choice = get_rng().choice(self.max_stage + 1, p=probabilities)
+        return self.file_data[choice]
+
+
+#: Task registry (parity: env_factory.py:177-258).
+task_types = {
+    'append-still': {
+        'iter_class': SafeLifeLevelIterator,
+        'train_levels': ['random/append-still-easy'],
+        'validation_levels': ['random/append-still'],
+        'benchmark_levels': 'benchmarks/v1.0/append-still.npz',
+    },
+    'prune-still': {
+        'iter_class': SafeLifeLevelIterator,
+        'train_levels': ['random/prune-still'],
+        'validation_levels': ['random/prune-still'],
+        'benchmark_levels': 'benchmarks/v1.0/prune-still.npz',
+    },
+    'append-spawn': {
+        'iter_class': SwitchingLevelIterator,
+        'train_levels': ['random/append-still-easy', 'random/append-spawn'],
+        'validation_levels': ['random/append-spawn'],
+        'benchmark_levels': 'benchmarks/v1.0/append-spawn.npz',
+    },
+    'prune-spawn': {
+        'iter_class': SwitchingLevelIterator,
+        'train_levels': ['random/prune-still', 'random/prune-spawn'],
+        'validation_levels': ['random/prune-spawn'],
+        'benchmark_levels': 'benchmarks/v1.0/prune-spawn.npz',
+    },
+    'curriculum-append-spawn': {
+        'iter_class': CurricularLevelIterator,
+        'train_levels': ['random/append-still-easy', 'random/append-spawn'],
+        'validation_levels': ['random/append-spawn'],
+        'benchmark_levels': 'benchmarks/v1.0/append-spawn.npz',
+    },
+    'navigate': {
+        'iter_class': SafeLifeLevelIterator,
+        'train_levels': ['random/navigation'],
+        'validation_levels': ['random/navigation'],
+        'benchmark_levels': 'benchmarks/v1.0/navigation.npz',
+    },
+}
+
+
+@dataclasses.dataclass
+class EnvBundle:
+    """Everything the training loop needs for one run."""
+
+    env_cfg: E.EnvConfig
+    wrapper_cfg: W.WrapperConfig
+    pool_manager: LevelPoolManager
+    training_logger: SafeLifeLogger
+    se_penalty_schedule: LinearSchedule
+    exit_difficulty_schedule: LinearSchedule
+    validation_levels: list
+    benchmark_levels: list
+    side_effect_weights: dict
+
+
+def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
+                       procgen_workers=4):
+    """Build the training bundle for a task (parity:
+    env_factory.py:290-410, adapted to the functional env)."""
+    task = config.setdefault('env_type', 'append-still')
+    if task not in task_types:
+        raise ValueError("'%s' is not a recognized task" % task)
+    task_data = task_types[task]
+
+    seed = np.random.SeedSequence(config.get('seed'))
+    training_seed, benchmark_seed = seed.spawn(2)
+
+    view_size = config.setdefault('env.view_size', 25)
+    env_cfg = E.EnvConfig(
+        view_shape=(view_size, view_size),
+        output_channels=TRAINING_CHANNELS,
+        time_limit=1000,
+        goals_may_evolve=True,
+    )
+    wrapper_cfg = W.WrapperConfig(
+        se_baseline=config.setdefault('side_effect.baseline',
+                                      'starting-state'),
+    )
+
+    training_logger = SafeLifeLogger(
+        data_dir and os.path.join(data_dir, ''), episode_type='training')
+
+    iter_class = task_data.get('iter_class', SafeLifeLevelIterator)
+    iter_args = {'seed': training_seed, 'num_workers': procgen_workers}
+    if iter_class is CurricularLevelIterator:
+        iter_args['logger'] = training_logger
+        iter_args['curriculum_params'] = {
+            'curriculum_distribution': config.setdefault(
+                'env.curriculum', 'progress_estimate')}
+        iter_args.pop('num_workers')  # curriculum picks levels synchronously
+    elif iter_class is SwitchingLevelIterator:
+        sched = config.setdefault('env.task_switch',
+                                  {'t': [1e5, 1.5e6], 'y': [0.1, 1.0]})
+        iter_args['p_switch'] = LinearSchedule(training_logger, **sched)
+        iter_args.pop('num_workers')  # switching picks levels synchronously
+
+    training_iter = iter_class(*task_data['train_levels'], **iter_args)
+    pool_manager = LevelPoolManager(training_iter, pool_size=pool_size)
+
+    se_penalty = config.setdefault('side_effect.penalty', 0.0)
+    se_schedule = dict(config.setdefault(
+        'side_effect.schedule', {'t': [1e6, 2e6], 'y': [0, 1.0]}))
+    se_schedule['y'] = (np.array(se_schedule['y']) * se_penalty).tolist()
+    exit_schedule = config.setdefault(
+        'env.exit_difficulty', {'t': [5e5, 2e6], 'y': [0.001, 1.0]})
+
+    validation_levels = []
+    if task_data.get('validation_levels'):
+        n_val = config.setdefault('validation.num_levels', 5)
+        val_seed = config.setdefault('validation.env_seed', VALIDATION_SEED)
+        val_iter = SafeLifeLevelIterator(
+            *task_data['validation_levels'], seed=val_seed,
+            num_workers=0, repeat_levels=True, distinct_levels=n_val)
+        validation_levels = [next(val_iter) for _ in range(n_val)]
+
+    benchmark_levels = []
+    bench_file = task_data.get('benchmark_levels')
+    if bench_file:
+        for base in (os.environ.get("SAFELIFE_BENCHMARK_DIR"),
+                     "/root/reference/safelife/levels"):
+            if base and os.path.exists(os.path.join(base, bench_file)):
+                benchmark_levels = load_levels(
+                    os.path.join(base, bench_file))
+                break
+        else:
+            try:
+                benchmark_levels = load_levels(bench_file)
+            except FileNotFoundError:
+                logger.warning(
+                    "benchmark levels '%s' not found; generating 20 fresh "
+                    "validation-style levels instead", bench_file)
+                gen = SafeLifeLevelIterator(
+                    *task_data['validation_levels'], seed=benchmark_seed,
+                    num_workers=0)
+                benchmark_levels = [next(gen) for _ in range(20)]
+
+    return EnvBundle(
+        env_cfg=env_cfg,
+        wrapper_cfg=wrapper_cfg,
+        pool_manager=pool_manager,
+        training_logger=training_logger,
+        se_penalty_schedule=LinearSchedule(training_logger, **se_schedule),
+        exit_difficulty_schedule=LinearSchedule(training_logger,
+                                                **exit_schedule),
+        validation_levels=validation_levels,
+        benchmark_levels=benchmark_levels,
+        side_effect_weights=dict(SIDE_EFFECT_WEIGHTS),
+    )

@@ -1,0 +1,171 @@
+"""Training-loop orchestration (the ``start-training.py`` equivalent).
+
+Drives the jitted PPO / DQN iteration units: schedules, periodic reports,
+validation runs, checkpoints (every 100k steps, keep 3), level-pool
+refreshes, and the final benchmark sweep — all host-side control around
+device-resident compute. Parity targets: ``training/ppo.py:184-219``,
+``training/dqn.py:177-214``, ``start-training.py:237-315``.
+"""
+
+import logging
+import time
+
+import jax
+import numpy as np
+
+from ..env import wrappers as W
+from ..loggers import EpisodeCollector, SafeLifeLogger, summarize_run
+from ..models.nets import SafeLifePolicyNetwork, SafeLifeQNetwork
+from . import dqn as dqn_mod, ppo as ppo_mod, runner
+from .checkpoints import CheckpointManager
+from .global_config import build_config, config as global_config
+
+logger = logging.getLogger(__name__)
+
+
+def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
+              data_dir=None, report_interval=960, test_interval=5e5,
+              checkpoint_interval=100_000, pool_refresh=4):
+    """Train PPO to ``total_steps`` env steps. Returns (model, ppo_state)."""
+    ppo_cfg = build_config(ppo_mod.PPOConfig, "ppo")
+    env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
+    key = jax.random.PRNGKey(seed)
+
+    model = SafeLifePolicyNetwork()
+    n_ch = len(env_cfg.output_channels)
+    key, kinit, kreset = jax.random.split(key, 3)
+    params = model.init(kinit, np.zeros(
+        (1,) + env_cfg.view_shape + (n_ch,), np.float32))
+    pstate = ppo_mod.init_ppo_state(ppo_cfg, params)
+
+    pool = bundle.pool_manager.pool
+    ws, obs = W.reset(env_cfg, wcfg, pool, kreset, batch_size,
+                      min_perf_fraction=bundle.exit_difficulty_schedule())
+
+    ckpt = data_dir and CheckpointManager(
+        data_dir, interval=checkpoint_interval)
+    if ckpt:
+        restored, extra, step = ckpt.restore(
+            {"params": pstate.params, "opt_state": pstate.opt_state,
+             "num_steps": pstate.num_steps})
+        if restored is not None:
+            pstate = pstate.replace(**restored)
+            if extra:
+                bundle.training_logger.cumulative_stats.update(extra)
+            logger.info("restored checkpoint at step %s", step)
+
+    collector = EpisodeCollector(
+        bundle.training_logger,
+        level_meta=runner.level_metadata(
+            bundle.pool_manager._host_levels))
+    steps_per_iter = ppo_cfg.steps_per_env * batch_size
+    next_report = report_interval
+    next_test = test_interval
+    t0 = time.time()
+
+    while int(pstate.num_steps) < total_steps:
+        key, k = jax.random.split(key)
+        pool = bundle.pool_manager.pool
+        pstate, ws, obs, metrics = ppo_mod.train_iteration(
+            env_cfg, wcfg, ppo_cfg, model.apply, pool, pstate, ws, obs, k,
+            se_penalty_coef=bundle.se_penalty_schedule(),
+            min_perf_fraction=bundle.exit_difficulty_schedule())
+        n = int(pstate.num_steps)
+        bundle.training_logger.cumulative_stats["training_steps"] = n
+
+        if bundle.pool_manager.iterator.num_workers > 0 or True:
+            bundle.pool_manager.refresh(pool_refresh)
+
+        if ckpt:
+            ckpt.save_if_needed(
+                n, {"params": pstate.params, "opt_state": pstate.opt_state,
+                    "num_steps": pstate.num_steps},
+                dict(bundle.training_logger.cumulative_stats))
+
+        if n >= next_report:
+            next_report = (n // report_interval + 1) * report_interval
+            m = {k2: float(v) for k2, v in metrics.items()}
+            rate = n / max(time.time() - t0, 1e-9)
+            logger.info(
+                "n=%d: loss=%.3g entropy=%.3f reward=%.4f (%.0f steps/s)",
+                n, m["loss"], m["entropy"], m["reward_mean"], rate)
+            bundle.training_logger.log_scalars(m, n, "ppo")
+
+        if bundle.validation_levels and n >= next_test:
+            next_test = (n // test_interval + 1) * test_interval
+            run_validation(model, pstate.params, bundle, data_dir, key)
+
+    if ckpt:
+        ckpt.save(int(pstate.num_steps),
+                  {"params": pstate.params, "opt_state": pstate.opt_state,
+                   "num_steps": pstate.num_steps},
+                  dict(bundle.training_logger.cumulative_stats))
+    return model, pstate
+
+
+def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
+              data_dir=None, report_interval=4096,
+              checkpoint_interval=100_000):
+    """Train DQN to ``total_steps`` env steps."""
+    cfg = build_config(dqn_mod.DQNConfig, "dqn")
+    env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
+    key = jax.random.PRNGKey(seed)
+    model = SafeLifeQNetwork()
+    n_ch = len(env_cfg.output_channels)
+    obs_shape = env_cfg.view_shape + (n_ch,)
+    key, kinit, kreset = jax.random.split(key, 3)
+    params = model.init(kinit, np.zeros((1,) + obs_shape, np.float32))
+    dstate = dqn_mod.init_dqn_state(cfg, params, batch_size, obs_shape)
+    pool = bundle.pool_manager.pool
+    ws, obs = W.reset(env_cfg, wcfg, pool, kreset, batch_size)
+
+    ckpt = data_dir and CheckpointManager(
+        data_dir, interval=checkpoint_interval)
+    chunk = max(cfg.optimize_interval // batch_size, 1)
+    next_report = report_interval
+    while int(dstate.num_steps) < total_steps:
+        key, k = jax.random.split(key)
+        dstate, ws, obs, metrics = dqn_mod.collect_and_optimize(
+            env_cfg, wcfg, cfg, model.apply, bundle.pool_manager.pool,
+            dstate, ws, obs, k, chunk)
+        n = int(dstate.num_steps)
+        bundle.training_logger.cumulative_stats["training_steps"] = n
+        bundle.pool_manager.refresh(2)
+        if ckpt:
+            ckpt.save_if_needed(
+                n, {"params": dstate.params,
+                    "target_params": dstate.target_params,
+                    "num_steps": dstate.num_steps})
+        if n >= next_report:
+            next_report = (n // report_interval + 1) * report_interval
+            m = {k2: float(v) for k2, v in metrics.items()}
+            logger.info("n=%d: loss=%.3g eps=%.3f q=%.3g", n,
+                        m["loss"], m["epsilon"], m["q_model_mean"])
+            bundle.training_logger.log_scalars(m, n, "dqn")
+    return model, dstate
+
+
+def run_validation(model, params, bundle, data_dir, key):
+    vlogger = SafeLifeLogger(data_dir, episode_type="validation")
+    records, summary = runner.benchmark(
+        model.apply, params, bundle.validation_levels,
+        num_episodes=len(bundle.validation_levels),
+        env_cfg=bundle.env_cfg, key=key,
+        side_effect_weights=bundle.side_effect_weights,
+        data_logger=vlogger)
+    logger.info("validation: %s", summary)
+    return summary
+
+
+def run_benchmark(model, params, bundle, data_dir, key, num_episodes=1000):
+    """Final benchmark sweep (parity: start-training.py:276-285)."""
+    blogger = SafeLifeLogger(data_dir, episode_type="benchmark")
+    records, summary = runner.benchmark(
+        model.apply, params, bundle.benchmark_levels,
+        num_episodes=num_episodes, env_cfg=bundle.env_cfg, key=key,
+        side_effect_weights=bundle.side_effect_weights,
+        data_logger=blogger)
+    logger.info("benchmark: %s", summary)
+    if data_dir:
+        summarize_run(data_dir)
+    return summary
