@@ -58,6 +58,7 @@ def main():
         output_channels=None,  # raw views; pure env throughput
         time_limit=1000,
         goals_may_evolve=False,  # append-still goals are static
+        stochastic=False,         # append-still boards are spawner-free
         auto_reset=True,
     )
 

@@ -41,6 +41,81 @@ def _cond_write(board, pos, value, cond):
     return board.at[pos[0], pos[1]].set(jnp.where(cond, value, cur))
 
 
+def _agent_positions(board, locs_k, action):
+    """The four cells an action touches: agent, ahead, two-ahead, behind."""
+    h, w = board.shape
+    dirn = (action - 1) & 3
+    odd = (dirn & 1) == 1
+    dx = jnp.where(odd, 2 - dirn, 0)
+    dy = jnp.where(odd, 0, dirn - 1)
+    y0 = locs_k[0] % h
+    x0 = locs_k[1] % w
+    ys = jnp.stack([y0, (y0 + dy) % h, (y0 + 2 * dy) % h, (y0 - dy) % h])
+    xs = jnp.stack([x0, (x0 + dx) % w, (x0 + 2 * dx) % w, (x0 - dx) % w])
+    return dirn, dy, dx, y0, x0, ys, xs
+
+
+def _execute_one_fast(board, locs_k, action):
+    """One agent's action as a pure 4-cell transform + single scatter.
+
+    Valid only when min(H, W) >= 4 so the four touched cells are distinct
+    (no aliasing); then the C kernel's sequential read-modify-write chain
+    collapses to a pure function of the four initial cell values. ~4x
+    faster on TPU than the faithful scatter sequence.
+    """
+    h, w = board.shape
+    dirn, dy, dx, y0, x0, ys, xs = _agent_positions(board, locs_k, action)
+    v = board[ys, xs]
+    v0, v1, v2, v3 = v[0], v[1], v[2], v[3]
+
+    active = (action != 0) & ((v0 & C.AGENT) != 0)
+    v0o = jnp.where(
+        active, (v0 & ~C.ORIENTATION_MASK) | (dirn << C.ORIENTATION_BIT), v0)
+    is_toggle = action >= 5
+
+    # ---- toggle branch ----
+    t_create = v1 == 0
+    t_destr = ~t_create & ((v1 & C.DESTRUCTIBLE) != 0)
+    t_destr_agent = t_destr & ((v1 & C.AGENT) != 0)
+    t_shove = ~t_create & ~t_destr & ((~v0o & v1 & C.PUSHABLE) != 0)
+    shove_empty = t_shove & (v2 == 0)
+    shove_exit = t_shove & (v2 != 0) & ((v2 & C.EXIT) != 0)
+    tog_v1 = jnp.where(
+        t_create, C.ALIVE | C.DESTRUCTIBLE | (v0o & C.COLORS),
+        jnp.where(t_destr_agent,
+                  (v1 ^ (C.AGENT | C.DESTRUCTIBLE)) | C.FROZEN,
+                  jnp.where(t_destr, 0,
+                            jnp.where(shove_empty | shove_exit, 0, v1))))
+    tog_v2 = jnp.where(shove_empty, v1, v2)
+
+    # ---- move branch ----
+    m_push = (~v0o & v1 & C.PUSHABLE) != 0
+    m_push_empty = m_push & (v2 == 0)
+    m_push_exit = m_push & (v2 != 0) & ((v2 & C.EXIT) != 0)
+    m_empty = ~m_push & (v1 == 0)
+    m_exit = ~m_push & ~m_empty & ((v0o & v1 & C.EXIT) != 0) & \
+        ((v1 & C.AGENT) == 0)
+    do_move = m_push_empty | m_push_exit | m_empty
+    do_reloc = do_move | m_exit
+    pull = do_reloc & ((~v0o & v3 & C.PULLABLE) != 0)
+    mov_v0 = jnp.where(do_reloc, jnp.where(pull, v3, 0), v0o)
+    mov_v1 = jnp.where(do_move, v0o, v1)
+    mov_v2 = jnp.where(m_push_empty, v1, v2)
+    mov_v3 = jnp.where(pull, 0, v3)
+
+    n0 = jnp.where(is_toggle, v0o, mov_v0)
+    n1 = jnp.where(is_toggle, tog_v1, mov_v1)
+    n2 = jnp.where(is_toggle, tog_v2, mov_v2)
+    n3 = jnp.where(is_toggle, v3, mov_v3)
+    new_vals = jnp.where(active, jnp.stack([n0, n1, n2, n3]), v)
+    board = board.at[ys, xs].set(new_vals, unique_indices=True)
+
+    relocated = active & ~is_toggle & do_reloc
+    new_loc = jnp.stack([(y0 + dy) % h, (x0 + dx) % w])
+    locs_k = jnp.where(relocated, new_loc, locs_k)
+    return board, locs_k
+
+
 def execute_actions(board, agent_locs, actions):
     """Apply one action per agent, sequentially, on a single board.
 
@@ -59,6 +134,16 @@ def execute_actions(board, agent_locs, actions):
     n_agents = agent_locs.shape[0]
     if n_agents == 0:  # levels may have no agents at all
         return board, agent_locs
+
+    if min(h, w) >= 4:
+        # Fast path: no cell aliasing possible; agents still sequential.
+        def fast_body(k, carry):
+            board, locs = carry
+            b, lk = _execute_one_fast(board, locs[k], actions[k])
+            return b, locs.at[k].set(lk)
+
+        return jax.lax.fori_loop(
+            0, n_agents, fast_body, (board, agent_locs))
 
     def agent_body(k, carry):
         board, locs = carry

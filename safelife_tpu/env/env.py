@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import actions as actions_mod, advance, cells as C, scoring
+from ..core.scoring import POINTS_ON_LEVEL_EXIT
 from .state import EnvState, LevelBatch
 
 DEFAULT_CHANNELS = tuple(range(16)) + (25, 26, 27)
@@ -43,6 +44,7 @@ class EnvConfig:
     time_limit: int = 1000
     remove_white_goals: bool = True
     goals_may_evolve: bool = True   # False compiles out the goal advance
+    stochastic: bool = True         # False: spawner-free pool, no RNG draws
     auto_reset: bool = True
 
 
@@ -122,14 +124,18 @@ def _reset_one(cfg, pool, idx):
     """Fresh per-lane state from pool level ``idx`` (no batch axis)."""
     lv = pool.take(idx)
     board, agent_locs = lv.board, lv.agent_locs
-    counts = lv.initial_counts
-    ce = scoring.can_exit(
-        counts, lv.initial_counts, lv.initial_colors, lv.points_table,
-        lv.min_performance, board, agent_locs, lv.agent_mask)
+    # min_performance scaling may alter required points relative to the
+    # packed constant; recompute from the packed available-points data.
+    base = lv.init_points  # counts == initial at reset
+    earned = base - lv.init_points + POINTS_ON_LEVEL_EXIT * \
+        scoring.has_exited(board, agent_locs)
+    active = scoring.agent_is_active(board, agent_locs) & lv.agent_mask
+    ce = active & (jnp.maximum(0.0, earned) >= lv.required_points)
     board = scoring.update_exit_colors(
         board, agent_locs, lv.agent_mask, lv.exit_mask, ce)
-    old_value = scoring.current_points(
-        counts, lv.points_table, board, agent_locs, lv.agent_mask)
+    old_value = (base.astype(jnp.float32)
+                 + POINTS_ON_LEVEL_EXIT
+                 * scoring.has_exited(board, agent_locs)) * lv.agent_mask
     a = lv.agent_mask.shape[-1]
     return EnvState(
         level=lv,
@@ -168,6 +174,16 @@ def reset_impl(cfg, pool, key, batch_size):
 
 def _advance_physics(cfg, s, key):
     """Advance board and (if needed) goals; returns (board, goals)."""
+    if not cfg.stochastic:
+        # Spawner-free levels consume no RNG draws; this is exact, not an
+        # approximation (eligibility requires a spawning neighbor).
+        board = advance.advance_board_deterministic(s.board)
+        if cfg.goals_may_evolve:
+            adv_goals = advance.advance_board_deterministic(s.goals)
+            goals = jnp.where(s.level.goals_static, s.goals, adv_goals)
+        else:
+            goals = s.goals
+        return board, goals
     k1, k2 = jax.random.split(key)
     board = advance.advance_board(s.board, k1, s.level.spawn_prob)
     if cfg.goals_may_evolve:
@@ -194,16 +210,19 @@ def _step_one(cfg, pool, s, action, key):
     board, goals = _advance_physics(cfg, s, step_key)
     num_steps = s.num_steps + 1
 
-    counts = scoring.alive_counts(board, goals)
-    ce = scoring.can_exit(
-        counts, lv.initial_counts, lv.initial_colors, lv.points_table,
-        lv.min_performance, board, agent_locs, lv.agent_mask)
+    base = scoring.points_base(board, goals, lv.table_flat)
+    exited = scoring.has_exited(board, agent_locs)
+    earned = (base - lv.init_points).astype(jnp.float32) + \
+        POINTS_ON_LEVEL_EXIT * exited
+    active0 = scoring.agent_is_active(board, agent_locs) & lv.agent_mask
+    ce = active0 & (jnp.maximum(0.0, earned) >= lv.required_points)
     board = scoring.update_exit_colors(
         board, agent_locs, lv.agent_mask, lv.exit_mask, ce)
 
     times_up = num_steps >= cfg.time_limit
-    value = scoring.current_points(
-        counts, lv.points_table, board, agent_locs, lv.agent_mask)
+    value = (base.astype(jnp.float32)
+             + POINTS_ON_LEVEL_EXIT
+             * scoring.has_exited(board, agent_locs)) * lv.agent_mask
     reward = (value - s.old_value) * s.is_active
     success = scoring.has_exited(board, agent_locs) & lv.agent_mask
     active = scoring.agent_is_active(board, agent_locs) & lv.agent_mask

@@ -36,6 +36,11 @@ class LevelBatch:
     exit_locs: jax.Array        # int32 [L, E, 2] (padded, raster order)
     exit_locs_valid: jax.Array  # bool  [L, E]
     goals_static: jax.Array     # bool  [L]
+    # Precomputed scoring constants (hot-path fast scoring; see
+    # core.scoring.points_base):
+    table_flat: jax.Array       # int32 [L, A, 72]
+    init_points: jax.Array      # int32 [L, A] — points_table ⊙ initial counts
+    required_points: jax.Array  # int32 [L, A]
 
     @property
     def num_levels(self):
@@ -135,21 +140,32 @@ def pack_levels(levels, pad_agents=None, pad_exits=None):
         elocs_p.append(np.concatenate([e, pad]).astype(np.int32))
         evalid_p.append(np.arange(E) < n)
 
+    boards_j = jnp.asarray(np.stack(boards), jnp.int32)
+    goals_j = jnp.asarray(np.stack(goals), jnp.int32)
+    tables_j = jnp.asarray(np.stack(tables), jnp.int32)
+    mperf_j = jnp.asarray(np.stack(mperf))
+    initial_counts = scoring.alive_counts(boards_j, goals_j)
+    initial_colors = scoring.initial_colors_from_board(boards_j)
+    init_points = jnp.sum(
+        tables_j * initial_counts[:, None, :, :], axis=(-1, -2))
+    available = scoring.initial_available_points(
+        initial_counts, initial_colors, tables_j)
+    required = scoring.required_points(mperf_j, available)
     return LevelBatch(
-        board=jnp.asarray(np.stack(boards), jnp.int32),
-        goals=jnp.asarray(np.stack(goals), jnp.int32),
+        board=boards_j,
+        goals=goals_j,
         agent_locs=jnp.asarray(np.stack(locs), jnp.int32),
         agent_mask=jnp.asarray(np.stack(masks)),
-        points_table=jnp.asarray(np.stack(tables), jnp.int32),
-        min_performance=jnp.asarray(np.stack(mperf)),
+        points_table=tables_j,
+        min_performance=mperf_j,
         spawn_prob=jnp.asarray(np.stack(sprob)),
-        initial_counts=scoring.alive_counts(
-            jnp.asarray(np.stack(boards), jnp.int32),
-            jnp.asarray(np.stack(goals), jnp.int32)),
-        initial_colors=scoring.initial_colors_from_board(
-            jnp.asarray(np.stack(boards), jnp.int32)),
+        initial_counts=initial_counts,
+        initial_colors=initial_colors,
         exit_mask=jnp.asarray(np.stack(emasks)),
         exit_locs=jnp.asarray(np.stack(elocs_p), jnp.int32),
         exit_locs_valid=jnp.asarray(np.stack(evalid_p)),
         goals_static=jnp.asarray(np.stack(gstatic)),
+        table_flat=scoring.flatten_points_table(tables_j),
+        init_points=init_points.astype(jnp.int32),
+        required_points=required,
     )
