@@ -94,14 +94,15 @@ def agent_cells(board, agent_locs):
     """Gather the board values at each (padded) agent location.
 
     board: int32[..., H, W]; agent_locs: int32[..., A, 2] → int32[..., A].
+    Expressed as a one-hot masked reduction (fuses on TPU) rather than a
+    per-lane dynamic gather (which lowers to a slow XLA gather under vmap).
     """
-    y = agent_locs[..., 0]
-    x = agent_locs[..., 1]
-    return jnp.take_along_axis(
-        board.reshape(board.shape[:-2] + (-1,)),
-        y * board.shape[-1] + x,
-        axis=-1,
-    )
+    flat = board.reshape(board.shape[:-2] + (-1,))
+    idx = agent_locs[..., 0] * board.shape[-1] + agent_locs[..., 1]
+    iota = jnp.arange(flat.shape[-1], dtype=idx.dtype)
+    onehot = iota == idx[..., None]                   # [..., A, H*W]
+    return jnp.sum(
+        jnp.where(onehot, flat[..., None, :], 0), axis=-1)
 
 
 def has_exited(board, agent_locs):
@@ -200,34 +201,37 @@ def exit_mask_from_board(board):
     return (board & (C.EXIT | C.AGENT)) == C.EXIT
 
 
-def update_exit_colors(board, agent_locs, agent_mask, exit_mask, can_exit_now):
+def update_exit_colors(board, agent_locs, agent_mask, exit_mask, can_exit_now,
+                       cells=None):
     """Recolor exits and set/clear the EXIT bit on agents allowed to leave.
 
     Parity: ``update_exit_colors`` (safelife_game.py:537-552). Order matters:
     agent-cell writes happen first, then every exit cell is rewritten.
+    ``cells`` may supply precomputed ``agent_cells(board, agent_locs)``.
+
+    Note ``has_exited`` and ``agent_is_active`` are invariant under this
+    update: agent writes only toggle the EXIT bit on cells whose AGENT bit
+    is preserved, and exit-mask cells (which never carry AGENT) keep their
+    EXIT bit through the exit_type rewrite — callers can reuse values
+    computed from the pre-update board.
     """
-    y = agent_locs[..., 0]
-    x = agent_locs[..., 1]
     flat = board.reshape(board.shape[:-2] + (-1,))
-    idx = y * board.shape[-1] + x
-    cells = jnp.take_along_axis(flat, idx, axis=-1)
+    idx = agent_locs[..., 0] * board.shape[-1] + agent_locs[..., 1]
+    if cells is None:
+        cells = agent_cells(board, agent_locs)
     new_cells = (cells & ~C.EXIT) | jnp.where(can_exit_now, C.EXIT, 0)
-    # Sequential masked scatter in agent order (duplicate locations resolve
-    # like the reference's fancy-index assignment: last write wins). Padded
-    # agents must not touch the board at all.
+    # One fused where-chain replaces the reference's sequential writes:
+    # among agents sharing a cell the *last* write wins (fancy-index
+    # semantics), so later agents sit outermost; exit cells are rewritten
+    # after all agent writes, so exit_mask is the outermost select of all.
+    # Padded agents must not touch the board at all.
+    iota = jnp.arange(flat.shape[-1], dtype=idx.dtype)
     for k in range(agent_locs.shape[-2]):
-        cur = jnp.take_along_axis(flat, idx[..., k:k + 1], axis=-1)[..., 0]
-        upd = jnp.where(agent_mask[..., k], new_cells[..., k], cur)
-        flat = _scatter_set(flat, idx[..., k], upd)
+        hit = (iota == idx[..., k:k + 1]) & agent_mask[..., k:k + 1]
+        flat = jnp.where(hit, new_cells[..., k:k + 1], flat)
     board = flat.reshape(board.shape)
 
     any_exit = jnp.any(can_exit_now & agent_mask, axis=-1)
     exit_type = jnp.where(any_exit, C.LEVEL_EXIT | C.COLOR_R, C.LEVEL_EXIT)
     board = jnp.where(exit_mask, exit_type[..., None, None], board)
     return board
-
-
-def _scatter_set(flat, idx, values):
-    """Set flat[..., idx] = values along the last axis (batched)."""
-    onehot = jnp.arange(flat.shape[-1]) == idx[..., None]
-    return jnp.where(onehot, values[..., None], flat)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..core import actions as actions_mod, advance, cells as C, scoring
 from ..core.scoring import POINTS_ON_LEVEL_EXIT
-from .state import EnvState, LevelBatch
+from .state import EnvState, LaneLevel, LevelBatch
 
 DEFAULT_CHANNELS = tuple(range(16)) + (25, 26, 27)
 
@@ -121,26 +121,43 @@ def get_obs(cfg, board, goals, agent_locs, agent_mask,
 
 
 def _reset_one(cfg, pool, idx):
-    """Fresh per-lane state from pool level ``idx`` (no batch axis)."""
-    lv = pool.take(idx)
-    board, agent_locs = lv.board, lv.agent_locs
-    # min_performance scaling may alter required points relative to the
-    # packed constant; recompute from the packed available-points data.
+    """Fresh per-lane state from pool level ``idx`` (no batch axis).
+
+    Only the slim :class:`LaneLevel` slice is kept in the carried state;
+    required_points is recomputed here from the pool's (possibly scaled —
+    see the MinPerformanceScheduler parity in env.wrappers) min_performance
+    and the packed available-points data.
+    """
+    t = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
+    board, goals, agent_locs = t(pool.board), t(pool.goals), t(pool.agent_locs)
+    lv = LaneLevel(
+        agent_mask=t(pool.agent_mask),
+        table_flat=t(pool.table_flat),
+        init_points=t(pool.init_points),
+        required_points=scoring.required_points(
+            t(pool.min_performance), t(pool.available_points)),
+        spawn_prob=t(pool.spawn_prob),
+        goals_static=t(pool.goals_static),
+        exit_mask=t(pool.exit_mask),
+        exit_locs=t(pool.exit_locs),
+        exit_locs_valid=t(pool.exit_locs_valid),
+    )
     base = lv.init_points  # counts == initial at reset
-    earned = base - lv.init_points + POINTS_ON_LEVEL_EXIT * \
-        scoring.has_exited(board, agent_locs)
-    active = scoring.agent_is_active(board, agent_locs) & lv.agent_mask
+    cells = scoring.agent_cells(board, agent_locs)
+    exited = (cells & (C.AGENT | C.EXIT)) == C.EXIT
+    earned = base - lv.init_points + POINTS_ON_LEVEL_EXIT * exited
+    active = ((cells & C.AGENT) != 0) & lv.agent_mask
     ce = active & (jnp.maximum(0.0, earned) >= lv.required_points)
     board = scoring.update_exit_colors(
-        board, agent_locs, lv.agent_mask, lv.exit_mask, ce)
+        board, agent_locs, lv.agent_mask, lv.exit_mask, ce, cells=cells)
+    # has_exited is invariant under update_exit_colors (see its docstring).
     old_value = (base.astype(jnp.float32)
-                 + POINTS_ON_LEVEL_EXIT
-                 * scoring.has_exited(board, agent_locs)) * lv.agent_mask
+                 + POINTS_ON_LEVEL_EXIT * exited) * lv.agent_mask
     a = lv.agent_mask.shape[-1]
     return EnvState(
         level=lv,
         board=board,
-        goals=lv.goals,
+        goals=goals,
         agent_locs=agent_locs,
         num_steps=jnp.zeros((), jnp.int32),
         old_value=old_value,
@@ -211,21 +228,23 @@ def _step_one(cfg, pool, s, action, key):
     num_steps = s.num_steps + 1
 
     base = scoring.points_base(board, goals, lv.table_flat)
-    exited = scoring.has_exited(board, agent_locs)
+    cells = scoring.agent_cells(board, agent_locs)
+    exited = (cells & (C.AGENT | C.EXIT)) == C.EXIT
+    active0 = ((cells & C.AGENT) != 0) & lv.agent_mask
     earned = (base - lv.init_points).astype(jnp.float32) + \
         POINTS_ON_LEVEL_EXIT * exited
-    active0 = scoring.agent_is_active(board, agent_locs) & lv.agent_mask
     ce = active0 & (jnp.maximum(0.0, earned) >= lv.required_points)
     board = scoring.update_exit_colors(
-        board, agent_locs, lv.agent_mask, lv.exit_mask, ce)
+        board, agent_locs, lv.agent_mask, lv.exit_mask, ce, cells=cells)
 
+    # has_exited / agent_is_active are invariant under update_exit_colors
+    # (see its docstring), so the pre-update reads serve for all of these.
     times_up = num_steps >= cfg.time_limit
     value = (base.astype(jnp.float32)
-             + POINTS_ON_LEVEL_EXIT
-             * scoring.has_exited(board, agent_locs)) * lv.agent_mask
+             + POINTS_ON_LEVEL_EXIT * exited) * lv.agent_mask
     reward = (value - s.old_value) * s.is_active
-    success = scoring.has_exited(board, agent_locs) & lv.agent_mask
-    active = scoring.agent_is_active(board, agent_locs) & lv.agent_mask
+    success = exited & lv.agent_mask
+    active = active0
     done = ~active | times_up
 
     episode_reward = s.episode_reward + reward
@@ -250,16 +269,44 @@ def _step_one(cfg, pool, s, action, key):
         "level_idx": s.level_idx,
     }
 
-    if cfg.auto_reset:
-        new_idx = jax.random.randint(
-            reset_key, (), 0, pool.num_levels, jnp.int32)
-        fresh = _reset_one(cfg, pool, new_idx)
-        # Scalar predicate broadcasts against every leaf shape.
-        s = jax.tree.map(lambda a, b: jnp.where(lane_done, b, a), s, fresh)
-
     obs = get_obs(cfg, s.board, s.goals, s.agent_locs, s.level.agent_mask,
                   s.level.exit_locs, s.level.exit_locs_valid)
     return s, obs, reward, done, info
+
+
+def _batch_obs(cfg, state):
+    return jax.vmap(
+        lambda s: get_obs(cfg, s.board, s.goals, s.agent_locs,
+                          s.level.agent_mask, s.level.exit_locs,
+                          s.level.exit_locs_valid)
+    )(state)
+
+
+def lazy_lane_reset(lane_done, key, num_levels, fresh_fn, obs_fn, state, obs):
+    """Replace finished lanes with fresh pool levels, lazily.
+
+    Episodes last ~time_limit steps, so on the vast majority of steps no
+    lane finishes; the whole reset computation (pool gathers, state merge,
+    observation rebuild) sits behind a batch-level ``lax.cond`` and costs
+    one predicate when nothing is done.
+
+    fresh_fn(idx int32[B]) must return a batched state pytree; obs_fn(state)
+    rebuilds the batched observations after the merge.
+    """
+    b = lane_done.shape[0]
+
+    def do_reset(args):
+        state, obs = args
+        idx = jax.random.randint(key, (b,), 0, num_levels, jnp.int32)
+        fresh = fresh_fn(idx)
+        merged = jax.tree.map(
+            lambda a, f: jnp.where(
+                lane_done.reshape((b,) + (1,) * (a.ndim - 1)), f, a),
+            state, fresh)
+        return merged, obs_fn(merged)
+
+    return jax.lax.cond(jnp.any(lane_done), do_reset,
+                        lambda args: args, (state, obs))
 
 
 def step_impl(cfg, pool, state, actions, key):
@@ -279,10 +326,18 @@ def step_impl(cfg, pool, state, actions, key):
     reward float32[B, A], done bool[B, A].
     """
     b = state.board.shape[0]
+    reset_key, key = jax.random.split(key)
     keys = jax.random.split(key, b)
-    return jax.vmap(
+    state, obs, reward, done, info = jax.vmap(
         lambda s, a, k: _step_one(cfg, pool, s, a, k)
     )(state, actions, keys)
+    if cfg.auto_reset:
+        state, obs = lazy_lane_reset(
+            info["lane_done"], reset_key, pool.num_levels,
+            jax.vmap(lambda i: _reset_one(cfg, pool, i)),
+            lambda st: _batch_obs(cfg, st),
+            state, obs)
+    return state, obs, reward, done, info
 
 
 reset = jax.jit(reset_impl, static_argnames=("cfg", "batch_size"))

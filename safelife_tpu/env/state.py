@@ -20,6 +20,28 @@ from ..core import advance, cells as C, scoring
 
 
 @flax.struct.dataclass
+class LaneLevel:
+    """The slim per-lane slice of level data the hot step path needs.
+
+    Carried inside :class:`EnvState` instead of a full :class:`LevelBatch`
+    row: the big per-level arrays (pristine board/goals, the 8x9 points
+    table, initial censuses) live only in the pool and are consulted at
+    reset, so the per-step auto-reset gather + select-merge streams ~6x
+    less data.
+    """
+
+    agent_mask: jax.Array       # bool  [A]
+    table_flat: jax.Array       # int32 [A, 72]
+    init_points: jax.Array      # int32 [A]
+    required_points: jax.Array  # int32 [A]
+    spawn_prob: jax.Array       # float32 []
+    goals_static: jax.Array     # bool []
+    exit_mask: jax.Array        # bool  [H, W]
+    exit_locs: jax.Array        # int32 [E, 2]
+    exit_locs_valid: jax.Array  # bool  [E]
+
+
+@flax.struct.dataclass
 class LevelBatch:
     """A batch/pool of levels resident on device. Leading axis = levels."""
 
@@ -41,6 +63,7 @@ class LevelBatch:
     table_flat: jax.Array       # int32 [L, A, 72]
     init_points: jax.Array      # int32 [L, A] — points_table ⊙ initial counts
     required_points: jax.Array  # int32 [L, A]
+    available_points: jax.Array  # float32 [L, A] — initial_available_points
 
     @property
     def num_levels(self):
@@ -63,7 +86,7 @@ class LevelBatch:
 class EnvState:
     """Batched environment state. Leading axis = parallel boards."""
 
-    level: LevelBatch           # current per-board level data (batch axis B)
+    level: LaneLevel            # current per-board level data (batch axis B)
     board: jax.Array            # int32 [B, H, W]
     goals: jax.Array            # int32 [B, H, W]
     agent_locs: jax.Array       # int32 [B, A, 2]
@@ -168,4 +191,5 @@ def pack_levels(levels, pad_agents=None, pad_exits=None):
         table_flat=scoring.flatten_points_table(tables_j),
         init_points=init_points.astype(jnp.int32),
         required_points=required,
+        available_points=available.astype(jnp.float32),
     )

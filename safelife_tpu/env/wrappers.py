@@ -172,37 +172,41 @@ def _step_one(cfg, wcfg, pool, ws, action, key,
     ws = WrappedState(env=s, prior_positions=ring, prior_count=count,
                       last_side_effect=last_se, baseline_board=baseline)
 
-    # --- auto-reset (env + wrapper state together) ---
-    if cfg.auto_reset:
-        lane_done = info["lane_done"]
-        new_idx = jax.random.randint(se_key, (), 0, pool.num_levels,
-                                     jnp.int32)
-        scaled = pool.replace(
-            min_performance=pool.min_performance * min_perf_fraction)
-        fresh_env = E._reset_one(cfg, scaled, new_idx)
-        f_ring, f_cnt, f_lse, f_base = _fresh_wrapper_fields(
-            wcfg.movement_bonus_period, fresh_env)
-        fresh = WrappedState(env=fresh_env, prior_positions=f_ring,
-                             prior_count=f_cnt, last_side_effect=f_lse,
-                             baseline_board=f_base)
-        ws = jax.tree.map(lambda a, b: jnp.where(lane_done, b, a), ws, fresh)
-        obs = E.get_obs(cfg, ws.env.board, ws.env.goals, ws.env.agent_locs,
-                        ws.env.level.agent_mask, ws.env.level.exit_locs,
-                        ws.env.level.exit_locs_valid)
-
     del prev_episode_reward, prev_is_active
     return ws, obs, reward, done, info
+
+
+def _fresh_wrapped(cfg, wcfg, pool, idx, min_perf_fraction):
+    """Batched fresh WrappedState from pool levels ``idx`` (int32[B])."""
+    scaled = pool.replace(
+        min_performance=pool.min_performance * min_perf_fraction)
+    fresh_env = jax.vmap(lambda i: E._reset_one(cfg, scaled, i))(idx)
+    f_ring, f_cnt, f_lse, f_base = jax.vmap(
+        lambda s: _fresh_wrapper_fields(wcfg.movement_bonus_period, s)
+    )(fresh_env)
+    return WrappedState(env=fresh_env, prior_positions=f_ring,
+                        prior_count=f_cnt, last_side_effect=f_lse,
+                        baseline_board=f_base)
 
 
 def step_impl(cfg, wcfg, pool, state, actions, key,
               se_penalty_coef=0.0, min_perf_fraction=1.0):
     """Batched wrapped step. actions: int32[B, A]."""
     b = state.env.board.shape[0]
+    reset_key, key = jax.random.split(key)
     keys = jax.random.split(key, b)
-    return jax.vmap(
+    state, obs, reward, done, info = jax.vmap(
         lambda s, a, k: _step_one(cfg, wcfg, pool, s, a, k,
                                   se_penalty_coef, min_perf_fraction)
     )(state, actions, keys)
+    if cfg.auto_reset:
+        state, obs = E.lazy_lane_reset(
+            info["lane_done"], reset_key, pool.num_levels,
+            lambda idx: _fresh_wrapped(cfg, wcfg, pool, idx,
+                                       min_perf_fraction),
+            lambda ws: E._batch_obs(cfg, ws.env),
+            state, obs)
+    return state, obs, reward, done, info
 
 
 reset = jax.jit(reset_impl, static_argnames=("cfg", "wcfg", "batch_size"))
