@@ -120,27 +120,49 @@ def get_obs(cfg, board, goals, agent_locs, agent_mask,
 # Reset
 
 
-def _reset_one(cfg, pool, idx):
-    """Fresh per-lane state from pool level ``idx`` (no batch axis).
+def onehot_take(x, idx, num_rows):
+    """Row gather ``x[idx]`` as a one-hot float32 matmul.
+
+    XLA lowers a plain row gather with a batch-minor layout preference that
+    conflicts with the rest of the step pipeline, inserting board-sized
+    relayout copies around it (measured ~200k cycles each at batch 4096).
+    A one-hot matmul rides the MXU with standard layouts instead, and is
+    exact: each output sums exactly one 1.0*value product, and all level
+    data fits float32 exactly (cell bitfields < 2^16 << 2^24). Precision
+    HIGHEST is required — the TPU default rounds f32 operands to bfloat16
+    on the MXU, which corrupts bitfields; HIGHEST uses the exact bf16x3
+    decomposition.
+    """
+    oh = (idx[:, None] == jnp.arange(num_rows)).astype(jnp.float32)
+    flat = x.reshape((num_rows, -1)).astype(jnp.float32)
+    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
+    out = out.reshape((idx.shape[0],) + x.shape[1:])
+    if x.dtype == jnp.bool_:
+        return out > 0.5
+    return out.astype(x.dtype)
+
+
+def reset_batch(cfg, pool, idx):
+    """Fresh batched state from pool levels ``idx`` (int32[B]).
 
     Only the slim :class:`LaneLevel` slice is kept in the carried state;
     required_points is recomputed here from the pool's (possibly scaled —
     see the MinPerformanceScheduler parity in env.wrappers) min_performance
     and the packed available-points data.
     """
-    t = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
-    board, goals, agent_locs = t(pool.board), t(pool.goals), t(pool.agent_locs)
+    g = lambda x: onehot_take(x, idx, pool.num_levels)  # noqa: E731
+    board, goals, agent_locs = g(pool.board), g(pool.goals), g(pool.agent_locs)
     lv = LaneLevel(
-        agent_mask=t(pool.agent_mask),
-        table_flat=t(pool.table_flat),
-        init_points=t(pool.init_points),
+        agent_mask=g(pool.agent_mask),
+        table_flat=g(pool.table_flat),
+        init_points=g(pool.init_points),
         required_points=scoring.required_points(
-            t(pool.min_performance), t(pool.available_points)),
-        spawn_prob=t(pool.spawn_prob),
-        goals_static=t(pool.goals_static),
-        exit_mask=t(pool.exit_mask),
-        exit_locs=t(pool.exit_locs),
-        exit_locs_valid=t(pool.exit_locs_valid),
+            g(pool.min_performance), g(pool.available_points)),
+        spawn_prob=g(pool.spawn_prob),
+        goals_static=g(pool.goals_static),
+        exit_mask=g(pool.exit_mask),
+        exit_locs=g(pool.exit_locs),
+        exit_locs_valid=g(pool.exit_locs_valid),
     )
     base = lv.init_points  # counts == initial at reset
     cells = scoring.agent_cells(board, agent_locs)
@@ -153,19 +175,19 @@ def _reset_one(cfg, pool, idx):
     # has_exited is invariant under update_exit_colors (see its docstring).
     old_value = (base.astype(jnp.float32)
                  + POINTS_ON_LEVEL_EXIT * exited) * lv.agent_mask
-    a = lv.agent_mask.shape[-1]
+    b, a = lv.agent_mask.shape
     return EnvState(
         level=lv,
         board=board,
         goals=goals,
         agent_locs=agent_locs,
-        num_steps=jnp.zeros((), jnp.int32),
+        num_steps=jnp.zeros((b,), jnp.int32),
         old_value=old_value,
-        episode_reward=jnp.zeros((a,), jnp.float32),
-        episode_length=jnp.zeros((a,), jnp.int32),
-        is_active=jnp.ones((a,), bool),
+        episode_reward=jnp.zeros((b, a), jnp.float32),
+        episode_length=jnp.zeros((b, a), jnp.int32),
+        is_active=jnp.ones((b, a), bool),
         level_idx=idx,
-        rng=jnp.zeros((), jnp.uint32),  # per-lane key unused; step takes keys
+        rng=jnp.zeros((b,), jnp.uint32),  # unused per lane; step takes keys
     )
 
 
@@ -176,13 +198,8 @@ def reset_impl(cfg, pool, key, batch_size):
     levels. Returns (state, obs).
     """
     idx = jnp.arange(batch_size, dtype=jnp.int32) % pool.num_levels
-    state = jax.vmap(lambda i: _reset_one(cfg, pool, i))(idx)
-    obs = jax.vmap(
-        lambda s: get_obs(cfg, s.board, s.goals, s.agent_locs,
-                          s.level.agent_mask, s.level.exit_locs,
-                          s.level.exit_locs_valid)
-    )(state)
-    return state, obs
+    state = reset_batch(cfg, pool, idx)
+    return state, _batch_obs(cfg, state)
 
 
 # ---------------------------------------------------------------------------
@@ -269,9 +286,7 @@ def _step_one(cfg, pool, s, action, key):
         "level_idx": s.level_idx,
     }
 
-    obs = get_obs(cfg, s.board, s.goals, s.agent_locs, s.level.agent_mask,
-                  s.level.exit_locs, s.level.exit_locs_valid)
-    return s, obs, reward, done, info
+    return s, reward, done, info
 
 
 def _batch_obs(cfg, state):
@@ -282,31 +297,30 @@ def _batch_obs(cfg, state):
     )(state)
 
 
-def lazy_lane_reset(lane_done, key, num_levels, fresh_fn, obs_fn, state, obs):
+def lazy_lane_reset(lane_done, key, num_levels, fresh_fn, state):
     """Replace finished lanes with fresh pool levels, lazily.
 
     Episodes last ~time_limit steps, so on the vast majority of steps no
-    lane finishes; the whole reset computation (pool gathers, state merge,
-    observation rebuild) sits behind a batch-level ``lax.cond`` and costs
-    one predicate when nothing is done.
+    lane finishes; the whole reset computation (pool gathers, state merge)
+    sits behind a batch-level ``lax.cond`` and costs one predicate when
+    nothing is done. Observations are built by the caller *after* the
+    merge, so they are computed once per step and never ride through the
+    cond.
 
-    fresh_fn(idx int32[B]) must return a batched state pytree; obs_fn(state)
-    rebuilds the batched observations after the merge.
+    fresh_fn(idx int32[B]) must return a batched state pytree.
     """
     b = lane_done.shape[0]
 
-    def do_reset(args):
-        state, obs = args
+    def do_reset(state):
         idx = jax.random.randint(key, (b,), 0, num_levels, jnp.int32)
         fresh = fresh_fn(idx)
-        merged = jax.tree.map(
+        return jax.tree.map(
             lambda a, f: jnp.where(
                 lane_done.reshape((b,) + (1,) * (a.ndim - 1)), f, a),
             state, fresh)
-        return merged, obs_fn(merged)
 
     return jax.lax.cond(jnp.any(lane_done), do_reset,
-                        lambda args: args, (state, obs))
+                        lambda st: st, state)
 
 
 def step_impl(cfg, pool, state, actions, key):
@@ -328,15 +342,15 @@ def step_impl(cfg, pool, state, actions, key):
     b = state.board.shape[0]
     reset_key, key = jax.random.split(key)
     keys = jax.random.split(key, b)
-    state, obs, reward, done, info = jax.vmap(
+    state, reward, done, info = jax.vmap(
         lambda s, a, k: _step_one(cfg, pool, s, a, k)
     )(state, actions, keys)
     if cfg.auto_reset:
-        state, obs = lazy_lane_reset(
+        state = lazy_lane_reset(
             info["lane_done"], reset_key, pool.num_levels,
-            jax.vmap(lambda i: _reset_one(cfg, pool, i)),
-            lambda st: _batch_obs(cfg, st),
-            state, obs)
+            lambda idx: reset_batch(cfg, pool, idx),
+            state)
+    obs = _batch_obs(cfg, state)
     return state, obs, reward, done, info
 
 

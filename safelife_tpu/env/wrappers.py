@@ -59,11 +59,12 @@ class WrappedState:
 
 
 def _fresh_wrapper_fields(period, env_state):
-    """Per-lane wrapper state right after a reset."""
-    locs = env_state.agent_locs  # [A, 2] (per-lane call)
-    ring = jnp.zeros((period,) + locs.shape, jnp.int32)
-    ring = ring.at[0].set(locs)
-    return ring, jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32), \
+    """Batched wrapper state right after a reset."""
+    locs = env_state.agent_locs  # [B, A, 2]
+    b = locs.shape[0]
+    ring = jnp.zeros((b, period) + locs.shape[1:], jnp.int32)
+    ring = ring.at[:, 0].set(locs)
+    return ring, jnp.ones((b,), jnp.int32), jnp.zeros((b,), jnp.int32), \
         env_state.board
 
 
@@ -71,9 +72,8 @@ def reset_impl(cfg, wcfg, pool, key, batch_size, min_perf_fraction=1.0):
     scaled = pool.replace(
         min_performance=pool.min_performance * min_perf_fraction)
     state, obs = E.reset(cfg, scaled, key, batch_size)
-    period = wcfg.movement_bonus_period
-    ring, cnt, lse, base = jax.vmap(
-        lambda s: _fresh_wrapper_fields(period, s))(state)
+    ring, cnt, lse, base = _fresh_wrapper_fields(
+        wcfg.movement_bonus_period, state)
     return WrappedState(
         env=state, prior_positions=ring, prior_count=cnt,
         last_side_effect=lse, baseline_board=base,
@@ -133,7 +133,7 @@ def _step_one(cfg, wcfg, pool, ws, action, key,
     # Core env step without auto-reset (we must shape rewards from the
     # pre-reset state first, then reset lanes and wrapper state together).
     core_cfg = dataclasses.replace(cfg, auto_reset=False)
-    s, obs, reward, done, info = E._step_one(
+    s, reward, done, info = E._step_one(
         core_cfg, pool, ws.env, action, env_key)
 
     if wcfg.enabled:
@@ -173,17 +173,16 @@ def _step_one(cfg, wcfg, pool, ws, action, key,
                       last_side_effect=last_se, baseline_board=baseline)
 
     del prev_episode_reward, prev_is_active
-    return ws, obs, reward, done, info
+    return ws, reward, done, info
 
 
 def _fresh_wrapped(cfg, wcfg, pool, idx, min_perf_fraction):
     """Batched fresh WrappedState from pool levels ``idx`` (int32[B])."""
     scaled = pool.replace(
         min_performance=pool.min_performance * min_perf_fraction)
-    fresh_env = jax.vmap(lambda i: E._reset_one(cfg, scaled, i))(idx)
-    f_ring, f_cnt, f_lse, f_base = jax.vmap(
-        lambda s: _fresh_wrapper_fields(wcfg.movement_bonus_period, s)
-    )(fresh_env)
+    fresh_env = E.reset_batch(cfg, scaled, idx)
+    f_ring, f_cnt, f_lse, f_base = _fresh_wrapper_fields(
+        wcfg.movement_bonus_period, fresh_env)
     return WrappedState(env=fresh_env, prior_positions=f_ring,
                         prior_count=f_cnt, last_side_effect=f_lse,
                         baseline_board=f_base)
@@ -195,17 +194,17 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
     b = state.env.board.shape[0]
     reset_key, key = jax.random.split(key)
     keys = jax.random.split(key, b)
-    state, obs, reward, done, info = jax.vmap(
+    state, reward, done, info = jax.vmap(
         lambda s, a, k: _step_one(cfg, wcfg, pool, s, a, k,
                                   se_penalty_coef, min_perf_fraction)
     )(state, actions, keys)
     if cfg.auto_reset:
-        state, obs = E.lazy_lane_reset(
+        state = E.lazy_lane_reset(
             info["lane_done"], reset_key, pool.num_levels,
             lambda idx: _fresh_wrapped(cfg, wcfg, pool, idx,
                                        min_perf_fraction),
-            lambda ws: E._batch_obs(cfg, ws.env),
-            state, obs)
+            state)
+    obs = E._batch_obs(cfg, state.env)
     return state, obs, reward, done, info
 
 

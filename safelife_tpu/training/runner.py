@@ -34,11 +34,8 @@ def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
     Returns final stats and the board as it stood when each lane finished.
     """
     cfg = dataclasses.replace(env_cfg, auto_reset=False)
-    state = jax.vmap(lambda i: E._reset_one(cfg, pool, i))(level_idx)
-    obs = jax.vmap(
-        lambda s: E.get_obs(cfg, s.board, s.goals, s.agent_locs,
-                            s.level.agent_mask, s.level.exit_locs,
-                            s.level.exit_locs_valid))(state)
+    state = E.reset_batch(cfg, pool, level_idx)
+    obs = E._batch_obs(cfg, state)
 
     b = level_idx.shape[0]
 
@@ -47,9 +44,10 @@ def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
         ka, ke = jax.random.split(k)
         actions = _policy_sample(apply_fn, params, obs, ka)
         keys = jax.random.split(ke, b)
-        state, obs, reward, done, info = jax.vmap(
+        state, reward, done, info = jax.vmap(
             lambda s, a, kk: E._step_one(cfg, pool, s, a, kk)
         )(state, actions[:, None], keys)
+        obs = E._batch_obs(cfg, state)
         lane_done = info["lane_done"]
         just_done = lane_done & ~done_before
         final_board = jnp.where(just_done[:, None, None],
