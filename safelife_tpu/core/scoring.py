@@ -90,6 +90,69 @@ def points_base(board, goals, table_flat):
         axis=(0, 2)).astype(jnp.int32)
 
 
+#: Packed-row nibble bias: row values v are stored as (v + 8) in 4 bits,
+#: so any table value in [-8, 7] round-trips.
+_ROW_BIAS = 8
+
+
+def rows_packable(points_table):
+    """True iff every live-cell table value fits the 4-bit packed encoding.
+
+    Only columns 0-7 (live colors) are packed; column 8 (empty) is stored
+    whole, so it never constrains packing.
+    """
+    live = np.asarray(points_table)[..., :8]
+    return bool((live >= -8).all() and (live <= 7).all())
+
+
+def pack_goal_rows(goals, table_flat):
+    """Precompute per-cell table rows for a *static* goal board.
+
+    The census lookup ``T[gc*9 + k]`` (k = cell color if alive else 8)
+    iterates an B x H*W x 72 space when evaluated per step — by far the
+    hottest instruction in the step. With static goals the goal color gc
+    of every cell is fixed, so the 9-entry row T[gc*9 + :] per cell can be
+    packed once per level: the eight live-color values as biased nibbles
+    of one int32 ``w0``, the empty-cell value whole in ``w8``. The per-step
+    lookup then costs one variable shift + mask instead of a 72-way
+    one-hot.
+
+    goals: int32[..., H, W]; table_flat: int32[..., A, 72]
+    → (w0 int32[..., A, H, W], w8 int32[..., A, H, W]).
+    """
+    gc = (goals >> C.COLOR_BIT) & 7                      # [..., H, W]
+    gcx = gc[..., None, :, :]                            # [..., 1, H, W]
+    tf = table_flat[..., :, None, None]                  # [..., A, 72, 1, 1]
+
+    def row(k):
+        idx = gcx * 9 + k                                # [..., 1, H, W]
+        onehot = idx[..., None, :, :] == jnp.arange(72)[:, None, None]
+        return jnp.sum(jnp.where(onehot, tf, 0), axis=-3)  # [..., A, H, W]
+
+    w0 = jnp.zeros_like(row(0))
+    for k in range(8):
+        w0 = w0 | ((row(k) + _ROW_BIAS) << (4 * k))
+    return w0, row(8)
+
+
+def points_base_packed(board, w0, w8):
+    """Σ table ⊙ census via precomputed packed rows (static goals only).
+
+    Exactly equals :func:`points_base` whenever the table satisfies
+    :func:`rows_packable` and the goal board matches the one the rows were
+    packed from. board: int32[..., H, W]; w0/w8: int32[..., A, H, W]
+    → int32[..., A].
+    """
+    movable = C.DESTRUCTIBLE | C.PUSHABLE | C.PULLABLE
+    include = ((board & movable) != 0) | ((board & C.FROZEN) == 0)
+    alive = (board & C.ALIVE) != 0
+    bc = (board >> C.COLOR_BIT) & 7
+    live_val = ((w0 >> (4 * bc[..., None, :, :])) & 15) - _ROW_BIAS
+    val = jnp.where(alive[..., None, :, :], live_val, w8)
+    val = val * include[..., None, :, :]
+    return jnp.sum(val, axis=(-1, -2), dtype=jnp.int32)
+
+
 def agent_cells(board, agent_locs):
     """Gather the board values at each (padded) agent location.
 

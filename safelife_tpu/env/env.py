@@ -127,16 +127,25 @@ def onehot_take(x, idx, num_rows):
     conflicts with the rest of the step pipeline, inserting board-sized
     relayout copies around it (measured ~200k cycles each at batch 4096).
     A one-hot matmul rides the MXU with standard layouts instead, and is
-    exact: each output sums exactly one 1.0*value product, and all level
-    data fits float32 exactly (cell bitfields < 2^16 << 2^24). Precision
+    exact: each output sums exactly one 1.0*value product. Precision
     HIGHEST is required — the TPU default rounds f32 operands to bfloat16
     on the MXU, which corrupts bitfields; HIGHEST uses the exact bf16x3
-    decomposition.
+    decomposition. Integer payloads are gathered as two 16-bit halves so
+    arbitrary int32 values survive the float32 round trip.
     """
     oh = (idx[:, None] == jnp.arange(num_rows)).astype(jnp.float32)
-    flat = x.reshape((num_rows, -1)).astype(jnp.float32)
-    out = jnp.matmul(oh, flat, precision=jax.lax.Precision.HIGHEST)
-    out = out.reshape((idx.shape[0],) + x.shape[1:])
+    out_shape = (idx.shape[0],) + x.shape[1:]
+
+    def mm(v):
+        return jnp.matmul(oh, v, precision=jax.lax.Precision.HIGHEST)
+
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        u = x.reshape((num_rows, -1)).astype(jnp.uint32)
+        lo = mm((u & 0xFFFF).astype(jnp.float32)).astype(jnp.uint32)
+        hi = mm((u >> 16).astype(jnp.float32)).astype(jnp.uint32)
+        return ((hi << 16) | lo).reshape(out_shape).astype(x.dtype)
+    out = mm(x.reshape((num_rows, -1)).astype(jnp.float32))
+    out = out.reshape(out_shape)
     if x.dtype == jnp.bool_:
         return out > 0.5
     return out.astype(x.dtype)
@@ -163,6 +172,9 @@ def reset_batch(cfg, pool, idx):
         exit_mask=g(pool.exit_mask),
         exit_locs=g(pool.exit_locs),
         exit_locs_valid=g(pool.exit_locs_valid),
+        row_w0=g(pool.row_w0),
+        row_w8=g(pool.row_w8),
+        rows_packed=pool.rows_packed,
     )
     base = lv.init_points  # counts == initial at reset
     cells = scoring.agent_cells(board, agent_locs)
@@ -206,46 +218,81 @@ def reset_impl(cfg, pool, key, batch_size):
 # Step
 
 
-def _advance_physics(cfg, s, key):
-    """Advance board and (if needed) goals; returns (board, goals)."""
+def _advance_physics(cfg, board, goals, goals_static, spawn_prob, key):
+    """Advance board and (if needed) goals for one lane."""
     if not cfg.stochastic:
         # Spawner-free levels consume no RNG draws; this is exact, not an
         # approximation (eligibility requires a spawning neighbor).
-        board = advance.advance_board_deterministic(s.board)
+        new_board = advance.advance_board_deterministic(board)
         if cfg.goals_may_evolve:
-            adv_goals = advance.advance_board_deterministic(s.goals)
-            goals = jnp.where(s.level.goals_static, s.goals, adv_goals)
-        else:
-            goals = s.goals
-        return board, goals
+            adv_goals = advance.advance_board_deterministic(goals)
+            goals = jnp.where(goals_static, goals, adv_goals)
+        return new_board, goals
     k1, k2 = jax.random.split(key)
-    board = advance.advance_board(s.board, k1, s.level.spawn_prob)
+    new_board = advance.advance_board(board, k1, spawn_prob)
     if cfg.goals_may_evolve:
-        adv_goals = advance.advance_board(s.goals, k2, s.level.spawn_prob)
-        goals = jnp.where(s.level.goals_static, s.goals, adv_goals)
-    else:
-        goals = s.goals
-    return board, goals
+        adv_goals = advance.advance_board(goals, k2, spawn_prob)
+        goals = jnp.where(goals_static, goals, adv_goals)
+    return new_board, goals
 
 
-def _step_one(cfg, pool, s, action, key):
-    """One env step for a single lane. action: int32[A]."""
+def _physics_batch(cfg, state, actions, key):
+    """Batched physics phase: execute actions, advance board (and goals),
+    read back agent cell values.
+
+    On TPU this is one fused Pallas kernel (:mod:`safelife_tpu.ops.physics`
+    — the analog of the reference's two C kernels); elsewhere it is the
+    vmapped XLA formulation from :mod:`safelife_tpu.core`. Both produce
+    bit-identical boards (for matching spawn draws).
+
+    Returns (board, goals, agent_locs, cells) — all batched; cells is the
+    post-advance board value at each agent's location.
+    """
+    from .. import ops
+
+    b, h, w = state.board.shape
+    if ops.use_fused_physics((h, w), b):
+        k1, k2 = jax.random.split(key)
+        seed = jax.random.randint(k1, (2,), 0, jnp.iinfo(jnp.int32).max,
+                                  jnp.int32)
+        board, agent_locs, cells = ops.fused_actions_advance(
+            state.board.reshape(b, h * w), state.agent_locs, actions,
+            state.level.spawn_prob, seed[0],
+            h=h, w=w, stochastic=cfg.stochastic)
+        board = board.reshape(b, h, w)
+        goals = state.goals
+        if cfg.goals_may_evolve:
+            adv = ops.advance_pallas(
+                state.goals.reshape(b, h * w), state.level.spawn_prob,
+                seed[1], h=h, w=w, stochastic=cfg.stochastic,
+            ).reshape(b, h, w)
+            goals = jnp.where(state.level.goals_static[:, None, None],
+                              state.goals, adv)
+        return board, goals, agent_locs, cells
+
+    keys = jax.random.split(key, b)
+    board, agent_locs = jax.vmap(actions_mod.execute_actions)(
+        state.board, state.agent_locs, actions)
+    board, goals = jax.vmap(
+        lambda bb, gg, gs, sp, k: _advance_physics(cfg, bb, gg, gs, sp, k)
+    )(board, state.goals, state.level.goals_static,
+      state.level.spawn_prob, keys)
+    cells = scoring.agent_cells(board, agent_locs)
+    return board, goals, agent_locs, cells
+
+
+def _finish_one(cfg, s, board, goals, agent_locs, cells):
+    """Scoring/exit/bookkeeping for one lane, given the physics results."""
     lv = s.level
-    step_key, reset_key = jax.random.split(key)
-
-    # Padded lanes act as noops. Exited/destroyed agents are skipped
-    # naturally inside execute_actions (their cell lost the AGENT bit),
-    # exactly like the reference.
-    action = jnp.where(lv.agent_mask, action, 0)
-    board, agent_locs = actions_mod.execute_actions(
-        s.board, s.agent_locs, action)
-    s = s.replace(board=board, agent_locs=agent_locs)
-
-    board, goals = _advance_physics(cfg, s, step_key)
     num_steps = s.num_steps + 1
 
-    base = scoring.points_base(board, goals, lv.table_flat)
-    cells = scoring.agent_cells(board, agent_locs)
+    if lv.rows_packed and not cfg.goals_may_evolve:
+        # Goals provably never change -> the packed per-cell census rows
+        # stay valid; the lookup is one shift+mask instead of the 72-way
+        # one-hot contraction (the hottest instruction of the whole step).
+        base = scoring.points_base_packed(board, lv.row_w0, lv.row_w8)
+    else:
+        base = scoring.points_base(board, goals, lv.table_flat)
     exited = (cells & (C.AGENT | C.EXIT)) == C.EXIT
     active0 = ((cells & C.AGENT) != 0) & lv.agent_mask
     earned = (base - lv.init_points).astype(jnp.float32) + \
@@ -287,6 +334,40 @@ def _step_one(cfg, pool, s, action, key):
     }
 
     return s, reward, done, info
+
+
+def advance_batch(cfg, boards, spawn_prob, key):
+    """Batched plain CA advance (no agents) — e.g. for inaction baselines.
+
+    Uses the Pallas kernel on TPU, the XLA formulation elsewhere.
+    """
+    from .. import ops
+
+    b, h, w = boards.shape
+    if ops.use_fused_physics((h, w), b):
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                  jnp.int32)
+        return ops.advance_pallas(
+            boards.reshape(b, h * w), spawn_prob, seed,
+            h=h, w=w, stochastic=cfg.stochastic).reshape(b, h, w)
+    if not cfg.stochastic:
+        return advance.advance_board_deterministic(boards)
+    keys = jax.random.split(key, b)
+    return jax.vmap(advance.advance_board)(boards, keys, spawn_prob)
+
+
+def step_core(cfg, state, actions, key):
+    """Batched env step without auto-reset or observations.
+
+    The shared backbone for :func:`step_impl`, the reward-shaping
+    wrappers, and the episode runner. Returns (state, reward, done, info).
+    """
+    actions = jnp.where(state.level.agent_mask, actions, 0)
+    board, goals, agent_locs, cells = _physics_batch(
+        cfg, state, actions, key)
+    return jax.vmap(
+        lambda s, bb, gg, ll, cc: _finish_one(cfg, s, bb, gg, ll, cc)
+    )(state, board, goals, agent_locs, cells)
 
 
 def _batch_obs(cfg, state):
@@ -339,12 +420,8 @@ def step_impl(cfg, pool, state, actions, key):
     (state, obs, reward, done, info) — obs uint8[B, A, vh, vw, C],
     reward float32[B, A], done bool[B, A].
     """
-    b = state.board.shape[0]
     reset_key, key = jax.random.split(key)
-    keys = jax.random.split(key, b)
-    state, reward, done, info = jax.vmap(
-        lambda s, a, k: _step_one(cfg, pool, s, a, k)
-    )(state, actions, keys)
+    state, reward, done, info = step_core(cfg, state, actions, key)
     if cfg.auto_reset:
         state = lazy_lane_reset(
             info["lane_done"], reset_key, pool.num_levels,

@@ -39,6 +39,11 @@ class LaneLevel:
     exit_mask: jax.Array        # bool  [H, W]
     exit_locs: jax.Array        # int32 [E, 2]
     exit_locs_valid: jax.Array  # bool  [E]
+    # Packed census rows for the fast static-goals scoring path (see
+    # core.scoring.pack_goal_rows); dummy [A, 1, 1] when not packable.
+    row_w0: jax.Array           # int32 [A, H, W] (or [A, 1, 1] dummy)
+    row_w8: jax.Array           # int32 [A, H, W] (or [A, 1, 1] dummy)
+    rows_packed: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 @flax.struct.dataclass
@@ -64,6 +69,9 @@ class LevelBatch:
     init_points: jax.Array      # int32 [L, A] — points_table ⊙ initial counts
     required_points: jax.Array  # int32 [L, A]
     available_points: jax.Array  # float32 [L, A] — initial_available_points
+    row_w0: jax.Array           # int32 [L, A, H, W] (or [L, A, 1, 1] dummy)
+    row_w8: jax.Array           # int32 [L, A, H, W] (or [L, A, 1, 1] dummy)
+    rows_packed: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_levels(self):
@@ -174,6 +182,14 @@ def pack_levels(levels, pad_agents=None, pad_exits=None):
     available = scoring.initial_available_points(
         initial_counts, initial_colors, tables_j)
     required = scoring.required_points(mperf_j, available)
+    table_flat = scoring.flatten_points_table(tables_j)
+    rows_packed = scoring.rows_packable(tables_j)
+    if rows_packed:
+        row_w0, row_w8 = scoring.pack_goal_rows(goals_j, table_flat)
+    else:
+        n_levels, n_agents = table_flat.shape[:2]
+        row_w0 = jnp.zeros((n_levels, n_agents, 1, 1), jnp.int32)
+        row_w8 = jnp.zeros((n_levels, n_agents, 1, 1), jnp.int32)
     return LevelBatch(
         board=boards_j,
         goals=goals_j,
@@ -192,4 +208,7 @@ def pack_levels(levels, pad_agents=None, pad_exits=None):
         init_points=init_points.astype(jnp.int32),
         required_points=required,
         available_points=available.astype(jnp.float32),
+        row_w0=row_w0,
+        row_w8=row_w8,
+        rows_packed=rows_packed,
     )

@@ -33,7 +33,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ..core import advance, cells as C
+from ..core import cells as C
 from . import env as E
 
 
@@ -124,56 +124,27 @@ def _side_effect_count(wcfg, board, baseline_board, goals, exit_mask):
     return jnp.sum(~non_effects).astype(jnp.int32)
 
 
-def _step_one(cfg, wcfg, pool, ws, action, key,
-              se_penalty_coef, min_perf_fraction):
-    env_key, se_key = jax.random.split(key)
+def _shape_one(wcfg, ring, count, last_se, s, reward, done, times_up,
+               baseline, se_penalty_coef):
+    """Per-lane reward shaping, given the core step's per-lane results."""
+    # --- movement bonus (innermost wrapper) ---
+    bonus = _movement_bonus(
+        wcfg, ring, count, s.agent_locs, s.level.agent_mask)
+    shaped = reward + bonus
+    slot = count % wcfg.movement_bonus_period
+    ring = ring.at[slot].set(s.agent_locs)
+    count = count + 1
 
-    prev_episode_reward = ws.env.episode_reward
-    prev_is_active = ws.env.is_active
-    # Core env step without auto-reset (we must shape rewards from the
-    # pre-reset state first, then reset lanes and wrapper state together).
-    core_cfg = dataclasses.replace(cfg, auto_reset=False)
-    s, reward, done, info = E._step_one(
-        core_cfg, pool, ws.env, action, env_key)
+    # --- extra exit bonus: uses the core episode reward ---
+    shaped = shaped + jnp.where(
+        done & ~times_up, wcfg.exit_bonus * s.episode_reward, 0.0)
 
-    if wcfg.enabled:
-        # --- movement bonus (innermost wrapper) ---
-        bonus = _movement_bonus(
-            wcfg, ws.prior_positions, ws.prior_count,
-            s.agent_locs, s.level.agent_mask)
-        shaped = reward + bonus
-        slot = ws.prior_count % wcfg.movement_bonus_period
-        ring = ws.prior_positions.at[slot].set(s.agent_locs)
-        count = ws.prior_count + 1
-
-        # --- extra exit bonus: uses the core episode reward ---
-        not_times_up = ~info["times_up"]
-        shaped = shaped + jnp.where(
-            done & not_times_up,
-            wcfg.exit_bonus * s.episode_reward, 0.0)
-
-        # --- side-effect penalty ---
-        if wcfg.se_baseline == "inaction":
-            baseline = advance.advance_board(
-                ws.baseline_board, se_key, s.level.spawn_prob)
-        else:
-            baseline = ws.baseline_board
-        se = _side_effect_count(
-            wcfg, s.board, baseline, s.goals, s.level.exit_mask)
-        delta = (se - ws.last_side_effect).astype(jnp.float32)
-        shaped = shaped - delta * se_penalty_coef
-        reward = shaped
-        last_se = se
-    else:
-        ring, count, last_se, baseline = (
-            ws.prior_positions, ws.prior_count, ws.last_side_effect,
-            ws.baseline_board)
-
-    ws = WrappedState(env=s, prior_positions=ring, prior_count=count,
-                      last_side_effect=last_se, baseline_board=baseline)
-
-    del prev_episode_reward, prev_is_active
-    return ws, reward, done, info
+    # --- side-effect penalty ---
+    se = _side_effect_count(
+        wcfg, s.board, baseline, s.goals, s.level.exit_mask)
+    delta = (se - last_se).astype(jnp.float32)
+    shaped = shaped - delta * se_penalty_coef
+    return shaped, ring, count, se
 
 
 def _fresh_wrapped(cfg, wcfg, pool, idx, min_perf_fraction):
@@ -191,13 +162,34 @@ def _fresh_wrapped(cfg, wcfg, pool, idx, min_perf_fraction):
 def step_impl(cfg, wcfg, pool, state, actions, key,
               se_penalty_coef=0.0, min_perf_fraction=1.0):
     """Batched wrapped step. actions: int32[B, A]."""
-    b = state.env.board.shape[0]
-    reset_key, key = jax.random.split(key)
-    keys = jax.random.split(key, b)
-    state, reward, done, info = jax.vmap(
-        lambda s, a, k: _step_one(cfg, wcfg, pool, s, a, k,
-                                  se_penalty_coef, min_perf_fraction)
-    )(state, actions, keys)
+    reset_key, phys_key, se_key = jax.random.split(key, 3)
+    # Core env step without auto-reset (rewards are shaped from the
+    # pre-reset state first; lanes and wrapper state reset together).
+    core_cfg = dataclasses.replace(cfg, auto_reset=False)
+    env2, reward, done, info = E.step_core(
+        core_cfg, state.env, actions, phys_key)
+
+    if wcfg.enabled:
+        if wcfg.se_baseline == "inaction":
+            baseline = E.advance_batch(
+                core_cfg, state.baseline_board,
+                env2.level.spawn_prob, se_key)
+        else:
+            baseline = state.baseline_board
+        shaped, ring, count, last_se = jax.vmap(
+            lambda r, c, l, s, rw, d, t, bb: _shape_one(
+                wcfg, r, c, l, s, rw, d, t, bb, se_penalty_coef)
+        )(state.prior_positions, state.prior_count,
+          state.last_side_effect, env2, reward, done, info["times_up"],
+          baseline)
+        reward = shaped
+    else:
+        ring, count, last_se, baseline = (
+            state.prior_positions, state.prior_count,
+            state.last_side_effect, state.baseline_board)
+
+    state = WrappedState(env=env2, prior_positions=ring, prior_count=count,
+                         last_side_effect=last_se, baseline_board=baseline)
     if cfg.auto_reset:
         state = E.lazy_lane_reset(
             info["lane_done"], reset_key, pool.num_levels,

@@ -43,10 +43,8 @@ def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
         state, obs, final_board, final_steps, done_before = carry
         ka, ke = jax.random.split(k)
         actions = _policy_sample(apply_fn, params, obs, ka)
-        keys = jax.random.split(ke, b)
-        state, reward, done, info = jax.vmap(
-            lambda s, a, kk: E._step_one(cfg, pool, s, a, kk)
-        )(state, actions[:, None], keys)
+        state, reward, done, info = E.step_core(
+            cfg, state, actions[:, None], ke)
         obs = E._batch_obs(cfg, state)
         lane_done = info["lane_done"]
         just_done = lane_done & ~done_before

@@ -8,17 +8,21 @@ path, and benchmarks run on real TPU hardware.
 import os
 
 # The image exports JAX_PLATFORMS=axon (the TPU tunnel); tests must run on
-# a virtual 8-device CPU mesh, so override rather than setdefault.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# a virtual 8-device CPU mesh, so override rather than setdefault. Set
+# SAFELIFE_TPU_TESTS_TPU=1 to keep the real TPU backend instead (needed
+# for the on-device Pallas equivalence tests in test_pallas.py).
+if not os.environ.get("SAFELIFE_TPU_TESTS_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("SAFELIFE_TPU_TESTS_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -179,3 +179,36 @@ class TestReferenceBenchmarkLevels:
         levels = load_levels(
             os.path.join(REF_LEVELS, "benchmarks/v1.0/prune-still.npz"))
         rollout_compare(levels[0], n_steps=40, seed=7)
+
+
+class TestPackedScoring:
+    """points_base_packed must exactly match points_base for packable
+    tables (the fast static-goals path used by the hot step)."""
+
+    def test_matches_points_base(self):
+        import jax.numpy as jnp
+        from safelife_tpu.core import cells as C, scoring
+
+        rng = np.random.default_rng(7)
+        B, H, W, A = 5, 11, 13, 3
+        board = rng.integers(0, 1 << 16, (B, H, W)).astype(np.int32)
+        goals = (rng.integers(0, 8, (B, H, W)).astype(np.int32)
+                 << C.COLOR_BIT)
+        table = rng.integers(-8, 8, (B, A, 8, 9)).astype(np.int32)
+        tf = scoring.flatten_points_table(jnp.asarray(table))
+        assert scoring.rows_packable(table)
+        w0, w8 = scoring.pack_goal_rows(jnp.asarray(goals), tf)
+        ref = jax.vmap(scoring.points_base)(
+            jnp.asarray(board), jnp.asarray(goals), tf)
+        got = scoring.points_base_packed(jnp.asarray(board), w0, w8)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_unpackable_detected(self):
+        from safelife_tpu.core import scoring
+
+        t = np.zeros((1, 1, 8, 9), np.int32)
+        t[0, 0, 3, 2] = 9
+        assert not scoring.rows_packable(t)
+        t[0, 0, 3, 2] = 0
+        t[0, 0, 3, 8] = 1000  # empty column never constrains packing
+        assert scoring.rows_packable(t)
