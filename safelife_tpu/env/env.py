@@ -175,6 +175,8 @@ def reset_batch(cfg, pool, idx):
         row_w0=g(pool.row_w0),
         row_w8=g(pool.row_w8),
         rows_packed=pool.rows_packed,
+        all_goals_static=pool.all_goals_static,
+        spawner_free=pool.spawner_free,
     )
     base = lv.init_points  # counts == initial at reset
     cells = scoring.agent_cells(board, agent_locs)
@@ -251,6 +253,13 @@ def _physics_batch(cfg, state, actions, key):
     from .. import ops
 
     b, h, w = state.board.shape
+    # The goals advance compiles out entirely when every pool level has
+    # provably static goals, even under cfg.goals_may_evolve; likewise the
+    # spawn RNG when no level has spawners (no cell is ever spawn-eligible).
+    evolve_goals = cfg.goals_may_evolve and not state.level.all_goals_static
+    stochastic = cfg.stochastic and not state.level.spawner_free
+    cfg = dataclasses.replace(cfg, goals_may_evolve=evolve_goals,
+                              stochastic=stochastic)
     if ops.use_fused_physics((h, w), b):
         k1, k2 = jax.random.split(key)
         seed = jax.random.randint(k1, (2,), 0, jnp.iinfo(jnp.int32).max,
@@ -261,7 +270,7 @@ def _physics_batch(cfg, state, actions, key):
             h=h, w=w, stochastic=cfg.stochastic)
         board = board.reshape(b, h, w)
         goals = state.goals
-        if cfg.goals_may_evolve:
+        if evolve_goals:
             adv = ops.advance_pallas(
                 state.goals.reshape(b, h * w), state.level.spawn_prob,
                 seed[1], h=h, w=w, stochastic=cfg.stochastic,
@@ -286,7 +295,8 @@ def _finish_one(cfg, s, board, goals, agent_locs, cells):
     lv = s.level
     num_steps = s.num_steps + 1
 
-    if lv.rows_packed and not cfg.goals_may_evolve:
+    if lv.rows_packed and (not cfg.goals_may_evolve
+                           or lv.all_goals_static):
         # Goals provably never change -> the packed per-cell census rows
         # stay valid; the lookup is one shift+mask instead of the 72-way
         # one-hot contraction (the hottest instruction of the whole step).

@@ -44,6 +44,13 @@ class LaneLevel:
     row_w0: jax.Array           # int32 [A, H, W] (or [A, 1, 1] dummy)
     row_w8: jax.Array           # int32 [A, H, W] (or [A, 1, 1] dummy)
     rows_packed: bool = flax.struct.field(pytree_node=False, default=False)
+    # True iff every level in the source pool has static goals — lets the
+    # step compile out the goals advance and keep packed scoring even when
+    # cfg.goals_may_evolve is on.
+    all_goals_static: bool = flax.struct.field(
+        pytree_node=False, default=False)
+    # True iff no level has spawner cells — compiles out the spawn RNG.
+    spawner_free: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 @flax.struct.dataclass
@@ -72,6 +79,9 @@ class LevelBatch:
     row_w0: jax.Array           # int32 [L, A, H, W] (or [L, A, 1, 1] dummy)
     row_w8: jax.Array           # int32 [L, A, H, W] (or [L, A, 1, 1] dummy)
     rows_packed: bool = flax.struct.field(pytree_node=False, default=False)
+    all_goals_static: bool = flax.struct.field(
+        pytree_node=False, default=False)
+    spawner_free: bool = flax.struct.field(pytree_node=False, default=False)
 
     @property
     def num_levels(self):
@@ -211,4 +221,7 @@ def pack_levels(levels, pad_agents=None, pad_exits=None):
         row_w0=row_w0,
         row_w8=row_w8,
         rows_packed=rows_packed,
+        all_goals_static=bool(np.all(gstatic)),
+        spawner_free=not bool(
+            ((np.stack(boards) | np.stack(goals)) & C.SPAWNING).any()),
     )

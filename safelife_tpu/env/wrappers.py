@@ -171,8 +171,11 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
 
     if wcfg.enabled:
         if wcfg.se_baseline == "inaction":
+            base_cfg = dataclasses.replace(
+                core_cfg, stochastic=(core_cfg.stochastic
+                                      and not env2.level.spawner_free))
             baseline = E.advance_batch(
-                core_cfg, state.baseline_board,
+                base_cfg, state.baseline_board,
                 env2.level.spawn_prob, se_key)
         else:
             baseline = state.baseline_board
