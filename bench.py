@@ -33,9 +33,9 @@ def load_pool():
     from safelife_tpu.io.levels import load_levels
 
     candidates = [
-        "/root/reference/safelife/levels/benchmarks/v1.0/append-still.npz",
         os.path.join(os.path.dirname(__file__),
-                     "safelife_tpu/levels/benchmarks/append-still.npz"),
+                     "safelife_tpu/levels/benchmarks/v1/append-still.npz"),
+        "/root/reference/safelife/levels/benchmarks/v1.0/append-still.npz",
     ]
     for path in candidates:
         if os.path.exists(path):

@@ -232,3 +232,90 @@ class LevelPoolManager:
         self.pool = jax.tree.map(
             lambda p, f: p.at[idx].set(f), self.pool, fresh)
         return len(new)
+
+
+# ---------------------------------------------------------------------------
+# Archive tooling (parity: reference level_iterator.py:290-357)
+
+
+def gen_many(param_file, out_dir, num_gen, num_workers=8, seed=None):
+    """Generate ``num_gen`` levels from a procgen param file into
+    ``out_dir`` as individual ``<basename>-NNN.npz`` files.
+
+    Existing files are kept (resumable), like the reference's generator.
+    """
+    out_dir = os.path.abspath(out_dir)
+    base_name = os.path.basename(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    digits = len(str(num_gen))
+    it = SafeLifeLevelIterator(param_file, num_workers=num_workers,
+                               seed=seed)
+    for k in range(1, num_gen + 1):
+        fname = os.path.join(
+            out_dir, "%s-%0*d.npz" % (base_name, digits, k))
+        if os.path.exists(fname):
+            continue
+        L.save_level(next(it), fname)
+
+
+def combine_levels(directory, out_file=None):
+    """Merge every single-level ``.npz`` in ``directory`` into one archive
+    (structured array under key ``levels``, reference-compatible)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(directory, "*.npz")))
+    if not files:
+        raise FileNotFoundError("no .npz levels in %s" % directory)
+    levels = []
+    for f in files:
+        lv = L.load_levels(f)[0]
+        lv.name = os.path.basename(f)
+        levels.append(lv)
+    out_file = out_file or directory.rstrip("/") + ".npz"
+    L.save_archive(levels, out_file)
+    return out_file
+
+
+def expand_levels(file_name, out_dir=None):
+    """Opposite of :func:`combine_levels`: split an archive into files."""
+    out_dir = out_dir or file_name[:-4]
+    os.makedirs(out_dir, exist_ok=True)
+    for lv in L.load_levels(file_name):
+        name = lv.name if lv.name.endswith(".npz") else lv.name + ".npz"
+        L.save_level(lv, os.path.join(out_dir, os.path.basename(name)))
+    return out_dir
+
+
+BENCHMARK_TASKS = (
+    "append-still", "append-dynamic", "append-spawn",
+    "prune-dynamic", "prune-spawn", "prune-still", "prune-still-hard",
+    "navigation",
+)
+
+
+def gen_benchmarks(out_dir=None, tasks=BENCHMARK_TASKS, num=100,
+                   seed=20260816, num_workers=8):
+    """Generate the fixed benchmark archives (parity:
+    ``gen_benchmarks``, reference level_iterator.py:344-357): ``num``
+    frozen levels per task, packed one archive per task under
+    ``<levels>/benchmarks/v1/``. Deterministic given ``seed``.
+    """
+    out_dir = out_dir or os.path.join(L.LEVEL_DIRECTORY, "benchmarks", "v1")
+    os.makedirs(out_dir, exist_ok=True)
+    root = np.random.SeedSequence(seed)
+    outs = []
+    for task, task_seed in zip(tasks, root.spawn(len(tasks))):
+        out_file = os.path.join(out_dir, task + ".npz")
+        if os.path.exists(out_file):
+            outs.append(out_file)
+            continue
+        it = SafeLifeLevelIterator("random/" + task, seed=task_seed,
+                                   num_workers=num_workers)
+        levels = []
+        for i in range(num):
+            lv = next(it)
+            lv.name = "%s-%03d.npz" % (task, i + 1)
+            levels.append(lv)
+        L.save_archive(levels, out_file)
+        outs.append(out_file)
+    return outs

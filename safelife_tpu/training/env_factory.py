@@ -245,11 +245,19 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
     benchmark_levels = []
     bench_file = task_data.get('benchmark_levels')
     if bench_file:
-        for base in (os.environ.get("SAFELIFE_BENCHMARK_DIR"),
-                     "/root/reference/safelife/levels"):
-            if base and os.path.exists(os.path.join(base, bench_file)):
-                benchmark_levels = load_levels(
-                    os.path.join(base, bench_file))
+        from ..io.levels import LEVEL_DIRECTORY
+        packaged = os.path.join(
+            LEVEL_DIRECTORY, 'benchmarks', 'v1',
+            os.path.basename(bench_file))
+        env_dir = os.environ.get("SAFELIFE_BENCHMARK_DIR")
+        candidates = [
+            env_dir and os.path.join(env_dir, bench_file),
+            packaged,
+            os.path.join("/root/reference/safelife/levels", bench_file),
+        ]
+        for path in candidates:
+            if path and os.path.exists(path):
+                benchmark_levels = load_levels(path)
                 break
         else:
             try:

@@ -211,3 +211,39 @@ class TestStabilityMask:
         board[4:7, 4] = C.LIFE  # blinker: stable period 2, unstable period 1
         assert stability_mask(board, period=2).any()
         assert not stability_mask(board, period=1)[4:7, 4].all()
+
+
+class TestArchiveTooling:
+    """gen_many/combine/expand round-trips (parity:
+    level_iterator.py:290-357)."""
+
+    def test_combine_expand_roundtrip(self, tmp_path):
+        from safelife_tpu.io import levels as L
+        from safelife_tpu.io.iterator import (
+            SafeLifeLevelIterator, combine_levels, expand_levels, gen_many)
+
+        d = tmp_path / "mini"
+        gen_many("random/append-still", str(d), 3, num_workers=0, seed=11)
+        archive = combine_levels(str(d))
+        levels = L.load_levels(archive)
+        assert len(levels) == 3
+        out = expand_levels(archive, str(tmp_path / "expanded"))
+        again = L.load_levels(out)
+        assert len(again) == 3
+        for a, b in zip(levels, sorted(again, key=lambda x: x.name)):
+            np.testing.assert_array_equal(a.board, b.board)
+            np.testing.assert_array_equal(a.goals, b.goals)
+
+    def test_packaged_benchmarks_load(self):
+        import os
+        from safelife_tpu.env.state import pack_levels
+        from safelife_tpu.io import levels as L
+        from safelife_tpu.io.iterator import BENCHMARK_TASKS
+
+        base = os.path.join(L.LEVEL_DIRECTORY, "benchmarks", "v1")
+        assert len(BENCHMARK_TASKS) == 8
+        for task in BENCHMARK_TASKS:
+            levels = L.load_levels(os.path.join(base, task + ".npz"))
+            assert len(levels) == 100, task
+        pool = pack_levels(levels[:10])
+        assert pool.num_levels == 10
