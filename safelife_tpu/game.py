@@ -286,6 +286,52 @@ class SafeLifeGame:
         return ['black', 'red', 'green', 'yellow', 'blue', 'magenta',
                 'cyan', 'white'][self.edit_color >> C.COLOR_BIT]
 
+    # -- board editing utilities ------------------------------------------
+    def shift_board(self, dx, dy):
+        """Translate board and goals (edges wrap). Parity:
+        safelife_game.py:464-470,721-725."""
+        self.board = np.roll(np.roll(self.board, dy, axis=0), dx, axis=1)
+        self.goals = np.roll(np.roll(self.goals, dy, axis=0), dx, axis=1)
+        if len(self.agent_locs):
+            self.agent_locs = (self.agent_locs + [dy, dx]) % self.board.shape
+        self.update_exit_locs()
+        self._needs_new_counts = True
+
+    def resize_board(self, dx, dy):
+        """Expand or shrink board and goals. Parity:
+        safelife_game.py:472-485,727-735."""
+        height, width = self.board.shape
+        if width + dx <= 0 or height + dy <= 0:
+            raise ValueError("Cannot resize to zero.")
+
+        def grow(arr):
+            new = np.zeros((height + dy, width + dx), dtype=arr.dtype)
+            h = height + min(0, dy)
+            w = width + min(0, dx)
+            new[:h, :w] = arr[:h, :w]
+            return new
+
+        self.board = grow(self.board)
+        self.goals = grow(self.goals)
+        if len(self.agent_locs):
+            in_bounds = ~np.any(
+                self.agent_locs >= self.board.shape, axis=1)
+            self.agent_locs = self.agent_locs[in_bounds]
+            self.agent_names = np.asarray(self.agent_names)[in_bounds]
+            if len(self.points_table) == len(in_bounds):
+                self.points_table = self.points_table[in_bounds]
+        self.edit_loc = tuple(np.array(self.edit_loc) % self.board.shape)
+        self.update_exit_locs()
+        self._needs_new_counts = True
+
+    def clip_board(self, left=0, right=0, top=0, bottom=0):
+        """Clip edges off the board. Parity: safelife_game.py:487-493."""
+        height, width = self.board.shape
+        if left + right >= width or top + bottom >= height:
+            raise ValueError("Board clipped to zero")
+        self.shift_board(-left, -top)
+        self.resize_board(-(left + right), -(bottom + top))
+
     # -- physics ---------------------------------------------------------
     def advance_board(self):
         self.num_steps += 1

@@ -100,7 +100,14 @@ class SafeLifeLogger:
         self.reset_summary()
 
     def init_logdir(self):
-        if self._has_init or not self.logdir:
+        if self._has_init:
+            return
+        if not self.logdir:
+            # No run directory: 'auto' must resolve to no tensorboard
+            # writer rather than staying a (truthy) string.
+            if self.summary_writer == 'auto':
+                self.summary_writer = False
+            self._has_init = True
             return
         os.makedirs(self.logdir, exist_ok=True)
         if self.episode_logname:

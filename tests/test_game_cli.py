@@ -167,3 +167,45 @@ class TestCLI:
         assert len(lvs) == 1
         r = self.run_cli("render", out)
         assert r.returncode == 0, r.stderr
+
+
+class TestBoardEditing:
+    """shift/resize/clip board utilities (parity:
+    safelife_game.py:464-493,721-735)."""
+
+    def _game(self):
+        from safelife_tpu.core import cells as C
+        from safelife_tpu.game import SafeLifeGame
+
+        g = SafeLifeGame((8, 10))
+        g.board[:] = 0
+        g.board[2, 3] = C.LIFE
+        g.board[g.agent_locs[0, 0], g.agent_locs[0, 1]] = C.PLAYER
+        g.goals[1, 1] = C.COLOR_B
+        return g
+
+    def test_shift_wraps(self):
+        from safelife_tpu.core import cells as C
+
+        g = self._game()
+        loc0 = g.agent_locs[0].copy()
+        g.shift_board(2, 3)
+        assert g.board[(2 + 3) % 8, (3 + 2) % 10] == C.LIFE
+        assert g.goals[(1 + 3) % 8, (1 + 2) % 10] == C.COLOR_B
+        np.testing.assert_array_equal(
+            g.agent_locs[0], (loc0 + [3, 2]) % [8, 10])
+
+    def test_resize_and_clip(self):
+        g = self._game()
+        g.resize_board(2, -1)
+        assert g.board.shape == (7, 12)
+        assert g.goals.shape == (7, 12)
+        g2 = self._game()
+        g2.clip_board(left=1, top=1)
+        assert g2.board.shape == (7, 9)
+
+    def test_resize_drops_out_of_bounds_agents(self):
+        g = self._game()
+        g.agent_locs = np.array([[6, 9]])
+        g.resize_board(-4, -4)
+        assert len(g.agent_locs) == 0
