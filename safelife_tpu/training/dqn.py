@@ -239,10 +239,17 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
         dstate = dstate.replace(
             traj=traj, replay=replay,
             num_steps=dstate.num_steps + done.shape[0])
-        return (dstate, ws2, obs2), None
+        ep = {
+            "lane_done": info["lane_done"],
+            "episode_reward": info["episode_reward"],
+            "episode_length": info["episode_length"],
+            "success": info["success"],
+            "level_idx": info["level_idx"],
+        }
+        return (dstate, ws2, obs2), ep
 
     keys = jax.random.split(key, n_steps + 1)
-    (dstate, ws, obs), _ = jax.lax.scan(
+    (dstate, ws, obs), ep_records = jax.lax.scan(
         body, (dstate, ws, obs), keys[:-1])
 
     # One optimize step (masked out while the buffer is cold).
@@ -280,6 +287,8 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
         lambda t, p: jnp.where(crossed, p, t),
         dstate.target_params, dstate.params))
     metrics = dict(metrics)
+    metrics["episodes"] = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), ep_records)
     metrics["epsilon"] = epsilon_schedule(cfg, dstate.num_steps)
     metrics["replay_size"] = size
     return dstate, ws, obs, metrics

@@ -191,7 +191,7 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
         raise ValueError("'%s' is not a recognized task" % task)
     task_data = task_types[task]
 
-    seed = np.random.SeedSequence(config.get('seed'))
+    seed = np.random.SeedSequence(config.setdefault('seed', None))
     training_seed, benchmark_seed = seed.spawn(2)
 
     view_size = config.setdefault('env.view_size', 25)

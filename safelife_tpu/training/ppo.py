@@ -93,6 +93,15 @@ def rollout(env_cfg, wcfg, pool, apply_fn, params, ws, obs, key, n_steps,
             "rewards": reward[:, 0],
             "values": values,
             "done": done[:, 0],
+            # Episode-completion records for the host-side logger (the
+            # lockstep analog of SafeLifeLogWrapper's on-done callback).
+            "ep": {
+                "lane_done": info["lane_done"],
+                "episode_reward": info["episode_reward"],
+                "episode_length": info["episode_length"],
+                "success": info["success"],
+                "level_idx": info["level_idx"],
+            },
         }
         return (ws2, obs2), out
 
@@ -234,6 +243,10 @@ def train_iteration_impl(env_cfg, wcfg, ppo_cfg, apply_fn, pool,
     metrics["reward_mean"] = traj["rewards"].mean()
     metrics["values_mean"] = batch["values"].mean()
     metrics["advantages_mean"] = batch["advantages"].mean()
+    # Flatten the [T, B] episode-completion records into one [T*B] batch
+    # the host-side EpisodeCollector can consume directly.
+    metrics["episodes"] = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), traj["ep"])
     return ppo_state, ws, obs, metrics
 
 

@@ -70,6 +70,8 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
             env_cfg, wcfg, ppo_cfg, model.apply, pool, pstate, ws, obs, k,
             se_penalty_coef=bundle.se_penalty_schedule(),
             min_perf_fraction=bundle.exit_difficulty_schedule())
+        collector.observe(jax.device_get(metrics.pop("episodes")),
+                          batch_steps=steps_per_iter)
         n = int(pstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
 
@@ -121,6 +123,10 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
 
     ckpt = data_dir and CheckpointManager(
         data_dir, interval=checkpoint_interval)
+    collector = EpisodeCollector(
+        bundle.training_logger,
+        level_meta=runner.level_metadata(
+            bundle.pool_manager._host_levels))
     chunk = max(cfg.optimize_interval // batch_size, 1)
     next_report = report_interval
     while int(dstate.num_steps) < total_steps:
@@ -128,6 +134,8 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
         dstate, ws, obs, metrics = dqn_mod.collect_and_optimize(
             env_cfg, wcfg, cfg, model.apply, bundle.pool_manager.pool,
             dstate, ws, obs, k, chunk)
+        collector.observe(jax.device_get(metrics.pop("episodes")),
+                          batch_steps=chunk * batch_size)
         n = int(dstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
         bundle.pool_manager.refresh(2)
