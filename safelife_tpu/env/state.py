@@ -11,6 +11,8 @@ Agent arrays are padded to a static ``A`` with ``agent_mask``; exits are
 padded to a static ``E`` with ``exit_locs_valid``.
 """
 
+from functools import partial
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -137,9 +139,48 @@ def goals_are_static(goals):
     return (not (adv & C.SPAWNING).any()) and (adv == g).all()
 
 
-def pack_levels(levels, pad_agents=None, pad_exits=None):
+@partial(jax.jit, static_argnames=("rows_packed",))
+def _derived_fields(boards, goals, tables, mperf, rows_packed):
+    """All device-computed LevelBatch fields in one jitted call.
+
+    Keeping this a single dispatch matters: over a tunneled device, every
+    un-jitted op costs a host round trip, which made level-pool refreshes
+    take seconds.
+    """
+    initial_counts = scoring.alive_counts(boards, goals)
+    initial_colors = scoring.initial_colors_from_board(boards)
+    init_points = jnp.sum(
+        tables * initial_counts[:, None, :, :], axis=(-1, -2))
+    available = scoring.initial_available_points(
+        initial_counts, initial_colors, tables)
+    required = scoring.required_points(mperf, available)
+    table_flat = scoring.flatten_points_table(tables)
+    if rows_packed:
+        row_w0, row_w8 = scoring.pack_goal_rows(goals, table_flat)
+    else:
+        n_levels, n_agents = table_flat.shape[:2]
+        row_w0 = jnp.zeros((n_levels, n_agents, 1, 1), jnp.int32)
+        row_w8 = jnp.zeros((n_levels, n_agents, 1, 1), jnp.int32)
+    return dict(
+        initial_counts=initial_counts,
+        initial_colors=initial_colors,
+        table_flat=table_flat,
+        init_points=init_points.astype(jnp.int32),
+        required_points=required,
+        available_points=available.astype(jnp.float32),
+        row_w0=row_w0,
+        row_w8=row_w8,
+    )
+
+
+def pack_levels(levels, pad_agents=None, pad_exits=None, force_flags=None):
     """Pack host :class:`~safelife_tpu.io.levels.Level` objects into a
-    device :class:`LevelBatch`. All levels must share a board shape."""
+    device :class:`LevelBatch`. All levels must share a board shape.
+
+    ``force_flags`` optionally pins the static (rows_packed,
+    all_goals_static, spawner_free) flags — used when packing replacement
+    levels that must be tree-compatible with an existing pool.
+    """
     shapes = {lv.shape for lv in levels}
     if len(shapes) != 1:
         raise ValueError("levels in one batch must share a board shape, "
@@ -181,47 +222,40 @@ def pack_levels(levels, pad_agents=None, pad_exits=None):
         elocs_p.append(np.concatenate([e, pad]).astype(np.int32))
         evalid_p.append(np.arange(E) < n)
 
-    boards_j = jnp.asarray(np.stack(boards), jnp.int32)
-    goals_j = jnp.asarray(np.stack(goals), jnp.int32)
-    tables_j = jnp.asarray(np.stack(tables), jnp.int32)
-    mperf_j = jnp.asarray(np.stack(mperf))
-    initial_counts = scoring.alive_counts(boards_j, goals_j)
-    initial_colors = scoring.initial_colors_from_board(boards_j)
-    init_points = jnp.sum(
-        tables_j * initial_counts[:, None, :, :], axis=(-1, -2))
-    available = scoring.initial_available_points(
-        initial_counts, initial_colors, tables_j)
-    required = scoring.required_points(mperf_j, available)
-    table_flat = scoring.flatten_points_table(tables_j)
-    rows_packed = scoring.rows_packable(tables_j)
-    if rows_packed:
-        row_w0, row_w8 = scoring.pack_goal_rows(goals_j, table_flat)
-    else:
-        n_levels, n_agents = table_flat.shape[:2]
-        row_w0 = jnp.zeros((n_levels, n_agents, 1, 1), jnp.int32)
-        row_w8 = jnp.zeros((n_levels, n_agents, 1, 1), jnp.int32)
+    boards_np = np.stack(boards)
+    goals_np = np.stack(goals)
+    tables_np = np.stack(tables)
+    rows_packed = scoring.rows_packable(tables_np)
+    all_goals_static = bool(np.all(gstatic))
+    spawner_free = not bool(((boards_np | goals_np) & C.SPAWNING).any())
+    if force_flags is not None:
+        f_rows, f_static, f_spawnfree = force_flags
+        rows_packed = rows_packed and f_rows
+        all_goals_static = all_goals_static and f_static
+        spawner_free = spawner_free and f_spawnfree
+
+    # One bulk host->device transfer, then one jitted call for everything
+    # derived on device.
+    host = dict(
+        board=boards_np.astype(np.int32),
+        goals=goals_np.astype(np.int32),
+        agent_locs=np.stack(locs).astype(np.int32),
+        agent_mask=np.stack(masks),
+        points_table=tables_np,
+        min_performance=np.stack(mperf),
+        spawn_prob=np.stack(sprob),
+        exit_mask=np.stack(emasks),
+        exit_locs=np.stack(elocs_p).astype(np.int32),
+        exit_locs_valid=np.stack(evalid_p),
+        goals_static=np.stack(gstatic),
+    )
+    dev = jax.device_put(host)
+    derived = _derived_fields(dev["board"], dev["goals"],
+                              dev["points_table"], dev["min_performance"],
+                              rows_packed)
     return LevelBatch(
-        board=boards_j,
-        goals=goals_j,
-        agent_locs=jnp.asarray(np.stack(locs), jnp.int32),
-        agent_mask=jnp.asarray(np.stack(masks)),
-        points_table=tables_j,
-        min_performance=mperf_j,
-        spawn_prob=jnp.asarray(np.stack(sprob)),
-        initial_counts=initial_counts,
-        initial_colors=initial_colors,
-        exit_mask=jnp.asarray(np.stack(emasks)),
-        exit_locs=jnp.asarray(np.stack(elocs_p), jnp.int32),
-        exit_locs_valid=jnp.asarray(np.stack(evalid_p)),
-        goals_static=jnp.asarray(np.stack(gstatic)),
-        table_flat=scoring.flatten_points_table(tables_j),
-        init_points=init_points.astype(jnp.int32),
-        required_points=required,
-        available_points=available.astype(jnp.float32),
-        row_w0=row_w0,
-        row_w8=row_w8,
+        **dev, **derived,
         rows_packed=rows_packed,
-        all_goals_static=bool(np.all(gstatic)),
-        spawner_free=not bool(
-            ((np.stack(boards) | np.stack(goals)) & C.SPAWNING).any()),
+        all_goals_static=all_goals_static,
+        spawner_free=spawner_free,
     )

@@ -202,8 +202,11 @@ class LevelPoolManager:
         """Pull up to ``max_new`` ready levels and swap them into the pool.
 
         With a worker-backed iterator this only consumes already-finished
-        results; generation latency overlaps device compute.
+        results; generation latency overlaps device compute. The device
+        update is one jitted call (over a tunneled device, per-op
+        dispatches made naive refreshes take seconds).
         """
+        import jax
         import jax.numpy as jnp
 
         new = []
@@ -222,16 +225,45 @@ class LevelPoolManager:
         for lv in new:
             self._host_levels[self._slot] = lv
             self._slot = (self._slot + 1) % len(self._host_levels)
+        flags = (self.pool.rows_packed, self.pool.all_goals_static,
+                 self.pool.spawner_free)
         fresh = self._pack(new, self.pool.agent_locs.shape[-2],
-                           self.pool.exit_locs.shape[-2])
+                           self.pool.exit_locs.shape[-2], force_flags=flags)
+        if (fresh.rows_packed, fresh.all_goals_static,
+                fresh.spawner_free) != flags or not self._flags_valid(new):
+            # A replacement level breaks a pool-wide static guarantee
+            # (e.g. dynamic goals entering an all-static pool): rebuild the
+            # whole pool so the flags are consistent. Rare; triggers one
+            # recompile downstream.
+            self.pool = self._pack(self._host_levels, self.pad_agents,
+                                   self.pad_exits)
+            return len(new)
         idx = jnp.asarray(
             [(self._slot - len(new) + i) % len(self._host_levels)
              for i in range(len(new))], jnp.int32)
-        import jax
-
-        self.pool = jax.tree.map(
-            lambda p, f: p.at[idx].set(f), self.pool, fresh)
+        self.pool = _swap_rows(self.pool, fresh, idx)
         return len(new)
+
+    def _flags_valid(self, new_levels):
+        """Whether the fresh levels honor the pool's static guarantees."""
+        import numpy as np
+
+        from ..core import cells as C
+        from ..env.state import goals_are_static
+
+        if self.pool.spawner_free and any(
+                ((lv.board | lv.goals) & C.SPAWNING).any()
+                for lv in new_levels):
+            return False
+        if self.pool.all_goals_static and not all(
+                goals_are_static(lv.goals) for lv in new_levels):
+            return False
+        if self.pool.rows_packed:
+            from ..core.scoring import rows_packable
+            if not all(rows_packable(np.asarray(lv.points_table))
+                       for lv in new_levels):
+                return False
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -319,3 +351,17 @@ def gen_benchmarks(out_dir=None, tasks=BENCHMARK_TASKS, num=100,
         L.save_archive(levels, out_file)
         outs.append(out_file)
     return outs
+
+
+def _swap_rows(pool, fresh, idx):
+    """Jitted row replacement: pool rows ``idx`` <- fresh rows."""
+    import jax
+
+    global _swap_rows_jit
+    try:
+        fn = _swap_rows_jit
+    except NameError:
+        fn = _swap_rows_jit = jax.jit(
+            lambda p, f, i: jax.tree.map(
+                lambda a, b: a.at[i].set(b), p, f))
+    return fn(pool, fresh, idx)

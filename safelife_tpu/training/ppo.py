@@ -254,3 +254,38 @@ train_iteration = jax.jit(
     train_iteration_impl,
     static_argnames=("env_cfg", "wcfg", "ppo_cfg", "apply_fn"),
 )
+
+
+def train_chunk_impl(env_cfg, wcfg, ppo_cfg, apply_fn, pool,
+                     ppo_state, ws, obs, key, n_iters,
+                     se_penalty_coef=0.0, min_perf_fraction=1.0):
+    """``n_iters`` PPO iterations under one jit (a scan of iterations).
+
+    Over a tunneled device every host round trip costs tens of ms;
+    chunking iterations amortizes that across ``n_iters`` updates. The
+    stacked metrics (including the flattened episode records) come back
+    once per chunk.
+    """
+    def body(carry, k):
+        ppo_state, ws, obs = carry
+        ppo_state, ws, obs, metrics = train_iteration_impl(
+            env_cfg, wcfg, ppo_cfg, apply_fn, pool, ppo_state, ws, obs, k,
+            se_penalty_coef, min_perf_fraction)
+        return (ppo_state, ws, obs), metrics
+
+    keys = jax.random.split(key, n_iters)
+    (ppo_state, ws, obs), metrics = jax.lax.scan(
+        body, (ppo_state, ws, obs), keys)
+    # Flatten episode records across the chunk; reduce scalar metrics to
+    # their last-iteration values for reporting.
+    episodes = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), metrics.pop("episodes"))
+    metrics = jax.tree.map(lambda x: x[-1], metrics)
+    metrics["episodes"] = episodes
+    return ppo_state, ws, obs, metrics
+
+
+train_chunk = jax.jit(
+    train_chunk_impl,
+    static_argnames=("env_cfg", "wcfg", "ppo_cfg", "apply_fn", "n_iters"),
+)

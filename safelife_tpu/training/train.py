@@ -25,7 +25,8 @@ logger = logging.getLogger(__name__)
 
 def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
               data_dir=None, report_interval=960, test_interval=5e5,
-              checkpoint_interval=100_000, pool_refresh=4):
+              checkpoint_interval=100_000, pool_refresh=4,
+              iters_per_chunk=8):
     """Train PPO to ``total_steps`` env steps. Returns (model, ppo_state)."""
     ppo_cfg = build_config(ppo_mod.PPOConfig, "ppo")
     env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
@@ -66,17 +67,17 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
     while int(pstate.num_steps) < total_steps:
         key, k = jax.random.split(key)
         pool = bundle.pool_manager.pool
-        pstate, ws, obs, metrics = ppo_mod.train_iteration(
+        pstate, ws, obs, metrics = ppo_mod.train_chunk(
             env_cfg, wcfg, ppo_cfg, model.apply, pool, pstate, ws, obs, k,
+            iters_per_chunk,
             se_penalty_coef=bundle.se_penalty_schedule(),
             min_perf_fraction=bundle.exit_difficulty_schedule())
         collector.observe(jax.device_get(metrics.pop("episodes")),
-                          batch_steps=steps_per_iter)
+                          batch_steps=steps_per_iter * iters_per_chunk)
         n = int(pstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
 
-        if bundle.pool_manager.iterator.num_workers > 0 or True:
-            bundle.pool_manager.refresh(pool_refresh)
+        bundle.pool_manager.refresh(pool_refresh)
 
         if ckpt:
             ckpt.save_if_needed(
