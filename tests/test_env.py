@@ -212,3 +212,27 @@ class TestPackedScoring:
         t[0, 0, 3, 2] = 0
         t[0, 0, 3, 8] = 1000  # empty column never constrains packing
         assert scoring.rows_packable(t)
+
+
+class TestRegistry:
+    """Canonical env registry (parity: safelife_env.py:231-246)."""
+
+    def test_make_and_step(self):
+        from safelife_tpu.registry import ENV_REGISTRY, make
+
+        assert len(ENV_REGISTRY) == 8
+        env = make("safelife-append-still-easy-v1", batch_size=2, seed=5,
+                   time_limit=20)
+        obs = env.reset()
+        assert obs.shape[0] == 2
+        for _ in range(3):
+            a = np.zeros((2,), np.int32)
+            obs, reward, done, info = env.step(a)
+        assert reward.shape == (2, env.num_agents)
+        assert isinstance(env.render(0), str)
+
+    def test_unknown_name(self):
+        from safelife_tpu.registry import make
+
+        with pytest.raises(KeyError):
+            make("safelife-bogus-v1")
