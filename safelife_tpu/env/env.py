@@ -414,6 +414,28 @@ def lazy_lane_reset(lane_done, key, num_levels, fresh_fn, state):
                         lambda st: st, state)
 
 
+def sample_episode_record(pool, state, info):
+    """A single finished episode's (init, final) board pair for side-effect
+    telemetry.
+
+    The reference computes side effects for every episode at episode end
+    (safelife_env.py:183-193) — affordable at 16 serial envs. At lockstep
+    scale that would dominate the step, so each step instead captures at
+    most one finished episode (the first done lane); the training loop
+    scores a sampled subset of these on the device occupancy kernel.
+    """
+    lane = jnp.argmax(info["lane_done"])
+    return {
+        "found": jnp.any(info["lane_done"]),
+        "init_board": jnp.take(pool.board, jnp.take(state.level_idx, lane),
+                               axis=0),
+        "final_board": jnp.take(state.board, lane, axis=0),
+        "num_steps": jnp.take(state.num_steps, lane),
+        "spawn_prob": jnp.take(state.level.spawn_prob, lane),
+        "level_idx": jnp.take(state.level_idx, lane),
+    }
+
+
 def step_impl(cfg, pool, state, actions, key):
     """Batched environment step.
 

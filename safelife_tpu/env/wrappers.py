@@ -168,6 +168,7 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
     core_cfg = dataclasses.replace(cfg, auto_reset=False)
     env2, reward, done, info = E.step_core(
         core_cfg, state.env, actions, phys_key)
+    info["ep_sample"] = E.sample_episode_record(pool, env2, info)
 
     if wcfg.enabled:
         if wcfg.se_baseline == "inaction":

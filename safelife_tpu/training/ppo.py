@@ -101,6 +101,7 @@ def rollout(env_cfg, wcfg, pool, apply_fn, params, ws, obs, key, n_steps,
                 "episode_length": info["episode_length"],
                 "success": info["success"],
                 "level_idx": info["level_idx"],
+                "sample": info["ep_sample"],
             },
         }
         return (ws2, obs2), out
@@ -244,9 +245,12 @@ def train_iteration_impl(env_cfg, wcfg, ppo_cfg, apply_fn, pool,
     metrics["values_mean"] = batch["values"].mean()
     metrics["advantages_mean"] = batch["advantages"].mean()
     # Flatten the [T, B] episode-completion records into one [T*B] batch
-    # the host-side EpisodeCollector can consume directly.
+    # the host-side EpisodeCollector can consume directly. The per-step
+    # side-effect samples keep their [T, ...] leading axis.
+    ep = dict(traj["ep"])
+    metrics["ep_samples"] = ep.pop("sample")
     metrics["episodes"] = jax.tree.map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), traj["ep"])
+        lambda x: x.reshape((-1,) + x.shape[2:]), ep)
     return ppo_state, ws, obs, metrics
 
 
@@ -276,12 +280,15 @@ def train_chunk_impl(env_cfg, wcfg, ppo_cfg, apply_fn, pool,
     keys = jax.random.split(key, n_iters)
     (ppo_state, ws, obs), metrics = jax.lax.scan(
         body, (ppo_state, ws, obs), keys)
-    # Flatten episode records across the chunk; reduce scalar metrics to
-    # their last-iteration values for reporting.
+    # Flatten episode records and side-effect samples across the chunk;
+    # reduce scalar metrics to their last-iteration values for reporting.
     episodes = jax.tree.map(
         lambda x: x.reshape((-1,) + x.shape[2:]), metrics.pop("episodes"))
+    samples = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), metrics.pop("ep_samples"))
     metrics = jax.tree.map(lambda x: x[-1], metrics)
     metrics["episodes"] = episodes
+    metrics["ep_samples"] = samples
     return ppo_state, ws, obs, metrics
 
 

@@ -23,6 +23,27 @@ from .global_config import build_config, config as global_config
 logger = logging.getLogger(__name__)
 
 
+def _sampled_side_effects(ep_samples, bundle, key):
+    """Score one sampled finished episode's side effects (weighted total
+    as a fraction of the inaction total), or None if no episode finished
+    this chunk. The lockstep-scale stand-in for the reference's
+    per-episode side-effect computation (safelife_env.py:183-193)."""
+    found = np.asarray(ep_samples["found"])
+    hits = np.nonzero(found)[0]
+    if not len(hits):
+        return None
+    i = int(hits[-1])
+    from ..side_effects import side_effect_score, weighted_side_effect_total
+    se = side_effect_score(
+        np.asarray(ep_samples["init_board"][i]),
+        np.asarray(ep_samples["final_board"][i]),
+        int(np.asarray(ep_samples["num_steps"][i])),
+        float(np.asarray(ep_samples["spawn_prob"][i])),
+        strkeys=True, key=key)
+    total = weighted_side_effect_total(se, bundle.side_effect_weights)
+    return float(total[0]) / max(float(total[1]), 1.0)
+
+
 def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
               data_dir=None, report_interval=960, test_interval=5e5,
               checkpoint_interval=100_000, pool_refresh=4,
@@ -74,6 +95,7 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
             min_perf_fraction=bundle.exit_difficulty_schedule())
         collector.observe(jax.device_get(metrics.pop("episodes")),
                           batch_steps=steps_per_iter * iters_per_chunk)
+        ep_samples = metrics.pop("ep_samples")
         n = int(pstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
 
@@ -92,6 +114,9 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
             logger.info(
                 "n=%d: loss=%.3g entropy=%.3f reward=%.4f (%.0f steps/s)",
                 n, m["loss"], m["entropy"], m["reward_mean"], rate)
+            se = _sampled_side_effects(ep_samples, bundle, key)
+            if se is not None:
+                m["side_effects_sampled"] = se
             bundle.training_logger.log_scalars(m, n, "ppo")
 
         if bundle.validation_levels and n >= next_test:
