@@ -34,6 +34,15 @@ def main(argv=None):
     p_train.add_argument("-x", "--extra-params", default=None, help=(
         "JSON dict of config overrides, e.g. "
         "'{\"ppo.gamma\": 0.99, \"side_effect.penalty\": 0.5}'"))
+    p_train.add_argument("--run-type", default="train",
+                         choices=("train", "benchmark"),
+                         help="'benchmark' evaluates the latest checkpoint "
+                              "in data_dir without training")
+    p_train.add_argument("--wandb", action="store_true",
+                         help="log to Weights & Biases (two-way config "
+                              "sync for sweeps)")
+    p_train.add_argument("--port", type=int, default=None,
+                         help="launch tensorboard on this port")
 
     p_print = sub.add_parser("print", help="print levels to the terminal")
     p_print.add_argument("paths", nargs="+")
@@ -91,29 +100,56 @@ def cmd_train(args):
     from .training import train as T
     from .training.env_factory import build_environments
     from .training.global_config import config
+    from .training.logging_setup import setup_logging
 
+    setup_logging(args.data_dir)
     if args.extra_params:
         config.update(json.loads(args.extra_params))
     config["env_type"] = args.env_type
+    config["run_type"] = args.run_type
     if args.seed is not None:
         config["seed"] = args.seed
 
-    bundle = build_environments(config, data_dir=args.data_dir)
-    if args.algo == "ppo":
-        model, state = T.train_ppo(
-            bundle, total_steps=args.steps, batch_size=args.batch,
-            seed=args.seed or 0, data_dir=args.data_dir)
-        params = state.params
-    else:
-        model, state = T.train_dqn(
-            bundle, total_steps=args.steps, batch_size=args.batch,
-            seed=args.seed or 0, data_dir=args.data_dir)
-        params = state.params
-    if not args.skip_benchmark and bundle.benchmark_levels:
-        T.run_benchmark(model, params, bundle, args.data_dir,
-                        jax.random.PRNGKey(args.seed or 0),
-                        num_episodes=args.benchmark_episodes)
-    config.check_for_unused()
+    if args.wandb:
+        # Two-way config sync (parity: start-training.py:155-190): sweep
+        # parameters flow wandb -> config; everything else config -> wandb.
+        import wandb
+        wandb.init(project="safelife-tpu", config=dict(config))
+        config.update({k: v for k, v in wandb.config.items()
+                       if k not in ("env_type", "run_type")})
+        config["_wandb"] = True
+
+    tb_proc = None
+    if args.port and args.data_dir:
+        import subprocess
+        tb_proc = subprocess.Popen(
+            ["tensorboard", "--logdir", args.data_dir,
+             "--port", str(args.port)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    try:
+        bundle = build_environments(config, data_dir=args.data_dir)
+        if args.run_type == "benchmark":
+            model, params = T.load_for_eval(
+                args.algo, bundle, args.data_dir)
+        elif args.algo == "ppo":
+            model, state = T.train_ppo(
+                bundle, total_steps=args.steps, batch_size=args.batch,
+                seed=args.seed or 0, data_dir=args.data_dir)
+            params = state.params
+        else:
+            model, state = T.train_dqn(
+                bundle, total_steps=args.steps, batch_size=args.batch,
+                seed=args.seed or 0, data_dir=args.data_dir)
+            params = state.params
+        if not args.skip_benchmark and bundle.benchmark_levels:
+            T.run_benchmark(model, params, bundle, args.data_dir,
+                            jax.random.PRNGKey(args.seed or 0),
+                            num_episodes=args.benchmark_episodes)
+        config.check_for_unused()
+    finally:
+        if tb_proc is not None:
+            tb_proc.terminate()
 
 
 def _iter_levels(paths, seed, num):

@@ -51,6 +51,14 @@ class CheckpointManager:
     def latest_step(self):
         return self.manager.latest_step()
 
+    def restore_raw(self):
+        """Restore the latest checkpoint without a template (e.g. for
+        eval-only runs). Returns (pytree-of-arrays, step) or (None, None)."""
+        step = self.manager.latest_step()
+        if step is None:
+            return None, None
+        return self.manager.restore(step), step
+
     def restore(self, state_template):
         """Restore the latest checkpoint into the given template pytree.
         Returns (state, extra, step) or (None, None, None)."""

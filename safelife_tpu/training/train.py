@@ -23,6 +23,23 @@ from .global_config import build_config, config as global_config
 logger = logging.getLogger(__name__)
 
 
+def load_for_eval(algo, bundle, data_dir):
+    """Load the latest checkpoint's params for benchmark-only runs.
+
+    Parity: start-training.py's run_type='benchmark' path (:276-285).
+    """
+    if not data_dir:
+        raise ValueError("benchmark run type needs a data_dir with "
+                         "checkpoints")
+    model = SafeLifePolicyNetwork() if algo == "ppo" else SafeLifeQNetwork()
+    ckpt = CheckpointManager(data_dir)
+    state, step = ckpt.restore_raw()
+    if state is None:
+        raise FileNotFoundError("no checkpoints under %s" % data_dir)
+    logger.info("benchmarking checkpoint at step %s", step)
+    return model, state["params"]
+
+
 def _sampled_side_effects(ep_samples, bundle, key):
     """Score one sampled finished episode's side effects (weighted total
     as a fraction of the inaction total), or None if no episode finished

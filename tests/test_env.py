@@ -88,10 +88,35 @@ def rollout_compare(level, n_steps=30, seed=0, **env_kw):
             np.asarray(done[0]), odone, err_msg="done mismatch at step %d" % t)
 
 
+def crafted_multiagent_level(seed=0, size=(14, 14), n_agents=3):
+    lv = crafted_level(seed, size)
+    rng = np.random.default_rng(seed + 100)
+    h, w = size
+    locs = [tuple(lv.agent_locs[0])]
+    board = lv.board
+    while len(locs) < n_agents:
+        y, x = int(rng.integers(1, h - 1)), int(rng.integers(1, w - 1))
+        if (y, x) in locs or board[y, x] & C.EXIT:
+            continue
+        board[y, x] = C.PLAYER | (int(rng.integers(0, 8)) << 9)
+        locs.append((y, x))
+    lv.agent_locs = np.array(locs)
+    lv.agent_names = np.array(["agent%d" % i for i in range(n_agents)])
+    lv.points_table = np.tile(DEFAULT_POINTS_TABLE, (n_agents, 1, 1))
+    return lv
+
+
 class TestCraftedLevels:
     @pytest.mark.parametrize("seed", range(4))
     def test_random_rollout_parity(self, seed):
         rollout_compare(crafted_level(seed), n_steps=25, seed=seed)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_multiagent_rollout_parity(self, seed):
+        """Simultaneous multi-agent actions: sequential-order semantics,
+        per-agent rewards/done (reference v1.2 multi-agent support)."""
+        rollout_compare(crafted_multiagent_level(seed), n_steps=25,
+                        seed=seed)
 
     def test_scoring_primitives(self):
         lv = crafted_level(1)
