@@ -1,0 +1,160 @@
+"""Golden parity tests against the REAL reference C engine.
+
+BASELINE.json's correctness north star demands exact-match rollouts vs
+the C implementation. These tests build the reference's C extension
+out-of-tree (writes only under /tmp) and compare our kernels against it
+bit-for-bit — including the stochastic spawn path, where our PCG64
+emulator must consume the exact same NumPy bit-generator stream the C
+kernel does.
+
+Skipped automatically when the reference tree or toolchain is absent.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+import oracle as O
+from safelife_tpu.core import actions as AC, advance, cells as C, pcg64, \
+    scoring
+from safelife_tpu.core.advance_np import advance_board_np
+
+REF = "/root/reference"
+BUILD = "/tmp/slref_build/lib"
+
+
+def _build_reference_ext():
+    so = os.path.join(BUILD, "safelife")
+    if os.path.isdir(so) and any(
+            f.endswith(".so") for f in os.listdir(so)):
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "setup.py", "build_ext",
+             "--build-lib", BUILD, "--build-temp", "/tmp/slref_build/tmp"],
+            cwd=REF, capture_output=True, timeout=300)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+if not os.path.isdir(REF) or not _build_reference_ext():
+    pytest.skip("reference C engine unavailable", allow_module_level=True)
+
+sys.path.insert(0, BUILD)
+from safelife import speedups  # noqa: E402
+
+
+def _soup(rng, shape=(26, 26), spawners=False):
+    board = np.zeros(shape, np.uint16)
+    alive = rng.random(shape) < 0.22
+    board |= alive * np.uint16(C.ALIVE | C.DESTRUCTIBLE)
+    for flag in (C.FROZEN, C.PRESERVING, C.INHIBITING,
+                 C.PUSHABLE, C.PULLABLE):
+        board |= (rng.random(shape) < 0.06) * np.uint16(flag)
+    board |= (rng.integers(0, 8, shape).astype(np.uint16) << 9) * alive
+    if spawners:
+        board |= ((rng.random(shape) < 0.04)
+                  * np.uint16(C.SPAWNING | C.FROZEN))
+    return board
+
+
+class TestAdvanceParity:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_deterministic_advance_exact(self, seed):
+        rng = np.random.default_rng(seed)
+        b_c = _soup(rng)
+        b_np = b_c.astype(np.int64)
+        b_jx = b_c.astype(np.int32)
+        for t in range(50):
+            b_c = speedups.advance_board(b_c, 0.3)
+            b_np = advance_board_np(b_np, np.random.default_rng(0), 0.3)
+            np.testing.assert_array_equal(
+                b_c.astype(np.int64), b_np,
+                err_msg="numpy oracle diverged at step %d" % t)
+        out = np.asarray(jax.jit(
+            lambda b: advance.advance_board_nstep(
+                b, jax.random.PRNGKey(0), 0.0, 50))(b_jx))
+        # spawner-free: the jitted kernel must match the C engine exactly
+        np.testing.assert_array_equal(out.astype(np.uint16), b_c)
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_stochastic_advance_exact_pcg64_stream(self, seed):
+        """Our PCG64 emulator must replicate the C kernel's spawn draws
+        from the same NumPy bit generator, bit for bit."""
+        rng_theirs = np.random.default_rng(1234 + seed)
+        rng_ours = np.random.default_rng(1234 + seed)
+        speedups.set_bit_generator(rng_theirs.bit_generator)
+
+        soup_rng = np.random.default_rng(seed)
+        b_c = _soup(soup_rng, spawners=True)
+        b_j = jax.numpy.asarray(b_c.astype(np.int32))
+
+        state, inc = pcg64.state_from_numpy(rng_ours)
+        k_hi, k_lo = pcg64.threshold_53(0.3)
+        step = jax.jit(advance.advance_board_oracle)
+        for t in range(20):
+            b_c = speedups.advance_board(b_c, 0.3)
+            b_j, state = step(b_j, state, inc, k_hi, k_lo)
+            np.testing.assert_array_equal(
+                np.asarray(b_j).astype(np.uint16), b_c,
+                err_msg="stochastic stream diverged at step %d" % t)
+
+    def test_life_occupancy_deterministic(self):
+        rng = np.random.default_rng(7)
+        b = _soup(rng)
+        ours = np.asarray(jax.jit(
+            lambda bb: advance.life_occupancy(
+                bb, jax.random.PRNGKey(0), 0.0, 100))(b.astype(np.int32)))
+        theirs = speedups.life_occupancy(b.copy(), 0.3, 100)
+        np.testing.assert_array_equal(ours, theirs)
+
+
+class TestActionParity:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_execute_actions_exact(self, seed):
+        rng = np.random.default_rng(seed)
+        board = _soup(rng)
+        n_agents = 3
+        locs_yx = []
+        for k in range(n_agents):
+            y, x = rng.integers(2, 24, 2)
+            board[y, x] = np.uint16(C.PLAYER | (k << 9))
+            locs_yx.append((y, x))
+        locs_yx = np.array(locs_yx, np.int64)
+
+        import jax.numpy as jnp
+        for t in range(15):
+            acts = rng.integers(0, 9, n_agents).astype(np.int64)
+            b_c = board.copy()
+            # C runtime locations are (y, x) pairs, mutated in place.
+            locs_c = locs_yx.copy()
+            speedups.execute_actions(b_c, locs_c, acts.astype(np.int64))
+            ours_b, ours_locs = AC.execute_actions(
+                jnp.asarray(board.astype(np.int32)),
+                jnp.asarray(locs_yx.astype(np.int32)),
+                jnp.asarray(acts.astype(np.int32)))
+            np.testing.assert_array_equal(
+                np.asarray(ours_b).astype(np.uint16), b_c,
+                err_msg="board mismatch at step %d" % t)
+            np.testing.assert_array_equal(
+                np.asarray(ours_locs), locs_c,
+                err_msg="agent locs mismatch at step %d" % t)
+            board, locs_yx = b_c, locs_c
+            board = speedups.advance_board(board, 0.0)
+
+
+class TestScoringParity:
+    def test_alive_counts_exact(self):
+        rng = np.random.default_rng(11)
+        board = _soup(rng)
+        goals = (rng.integers(0, 8, board.shape).astype(np.uint16) << 9)
+        ours = np.asarray(scoring.alive_counts(
+            board.astype(np.int32), goals.astype(np.int32)))
+        theirs = speedups.alive_counts(board, goals)
+        np.testing.assert_array_equal(ours, theirs)
