@@ -29,18 +29,32 @@ BUILD = "/tmp/slref_build/lib"
 
 
 def _build_reference_ext():
-    so = os.path.join(BUILD, "safelife")
-    if os.path.isdir(so) and any(
-            f.endswith(".so") for f in os.listdir(so)):
-        return True
-    try:
-        r = subprocess.run(
-            [sys.executable, "setup.py", "build_ext",
-             "--build-lib", BUILD, "--build-temp", "/tmp/slref_build/tmp"],
-            cwd=REF, capture_output=True, timeout=300)
-        return r.returncode == 0
-    except Exception:
-        return False
+    pkg = os.path.join(BUILD, "safelife")
+    built = os.path.isdir(pkg) and any(
+        f.endswith(".so") for f in os.listdir(pkg))
+    if not built:
+        try:
+            r = subprocess.run(
+                [sys.executable, "setup.py", "build_ext",
+                 "--build-lib", BUILD,
+                 "--build-temp", "/tmp/slref_build/tmp"],
+                cwd=REF, capture_output=True, timeout=300)
+            if r.returncode != 0:
+                return False
+        except Exception:
+            return False
+    # Put the reference's python sources + level data next to the built
+    # extension so `safelife.proc_gen` etc. import (writes only to /tmp).
+    import glob
+    import shutil
+    for f in glob.glob(os.path.join(REF, "safelife", "*.py")):
+        dst = os.path.join(pkg, os.path.basename(f))
+        if not os.path.exists(dst):
+            shutil.copy(f, dst)
+    lv = os.path.join(pkg, "levels")
+    if not os.path.exists(lv):
+        shutil.copytree(os.path.join(REF, "safelife", "levels"), lv)
+    return True
 
 
 if not os.path.isdir(REF) or not _build_reference_ext():
@@ -158,3 +172,44 @@ class TestScoringParity:
             board.astype(np.int32), goals.astype(np.int32)))
         theirs = speedups.alive_counts(board, goals)
         np.testing.assert_array_equal(ours, theirs)
+
+
+class TestProcgenDistributionParity:
+    """Level-generation distributional parity vs the reference generator.
+
+    The annealers agree bit-for-bit under matched RNG (see the kernel
+    tests); whole levels are stochastic compositions, so parity here is
+    distributional: cell-population statistics on matched task specs.
+    """
+
+    def test_append_still_distribution(self):
+        import yaml
+        from safelife import proc_gen as ref_pg
+        from safelife.random import set_rng as ref_set_rng
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+
+        params = yaml.safe_load(open(
+            REF + "/safelife/levels/random/append-still.yaml"))
+        defaults = yaml.safe_load(open(
+            REF + "/safelife/levels/random/_defaults.yaml"))
+        merged = {**defaults, **params}
+        merged["named_regions"] = {
+            **defaults.get("named_regions", {}),
+            **params.get("named_regions", {})}
+        refs = []
+        for i in range(12):
+            ref_set_rng(np.random.default_rng(1000 + i))
+            refs.append(ref_pg.gen_game(**merged))
+        it = SafeLifeLevelIterator("random/append-still", seed=1000,
+                                   num_workers=0)
+        ours = [next(it) for _ in range(12)]
+
+        def stats(bs, gs):
+            alive = np.mean([(b & 1).mean() for b in bs])
+            frozen = np.mean([((b & C.FROZEN) > 0).mean() for b in bs])
+            blue = np.mean([(((g >> 9) & 7) == 4).mean() for g in gs])
+            return np.array([alive, frozen, blue])
+
+        r = stats([g.board for g in refs], [g.goals for g in refs])
+        o = stats([lv.board for lv in ours], [lv.goals for lv in ours])
+        np.testing.assert_allclose(o, r, rtol=0.45, atol=0.01)
