@@ -213,3 +213,117 @@ class TestProcgenDistributionParity:
         r = stats([g.board for g in refs], [g.goals for g in refs])
         o = stats([lv.board for lv in ours], [lv.goals for lv in ours])
         np.testing.assert_allclose(o, r, rtol=0.45, atol=0.01)
+
+
+class TestFullEnvParity:
+    """Step-for-step parity of the batched env vs the REAL reference
+    SafeLifeEnv (not just the oracle port), with gym/pyemd stubbed out
+    (neither ships in this image; neither affects step semantics when
+    side-effect computation is disabled)."""
+
+    @staticmethod
+    def _stub_modules():
+        import types
+
+        if "gym" not in sys.modules:
+            gym = types.ModuleType("gym")
+
+            class _Env:
+                metadata = {}
+
+            class _Box:
+                def __init__(self, *a, **k):
+                    pass
+
+            class _Discrete:
+                def __init__(self, *a, **k):
+                    pass
+
+            gym.Env = _Env
+            spaces = types.ModuleType("gym.spaces")
+            spaces.Box = _Box
+            spaces.Discrete = _Discrete
+            gym.spaces = spaces
+            sys.modules["gym"] = gym
+            sys.modules["gym.spaces"] = spaces
+        if "pyemd" not in sys.modules:
+            pyemd = types.ModuleType("pyemd")
+            pyemd.emd = None
+            sys.modules["pyemd"] = pyemd
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_step_for_step_vs_reference_env(self, seed):
+        self._stub_modules()
+        from safelife.safelife_env import SafeLifeEnv
+        from safelife.safelife_game import SafeLifeGame
+
+        import jax.numpy as jnp
+        from safelife_tpu.env import env as E
+        from safelife_tpu.env.state import pack_levels
+        from safelife_tpu.io.levels import Level
+        from safelife_tpu.core.scoring import DEFAULT_POINTS_TABLE
+
+        rng = np.random.default_rng(seed)
+        board = _soup(rng)  # spawner-free -> no RNG in physics
+        y, x = 13, 13
+        board[y, x] = np.uint16(C.AGENT | C.FROZEN | C.PRESERVING
+                                | C.INHIBITING | C.DESTRUCTIBLE)
+        board[2, 2] = np.uint16(C.FROZEN | C.EXIT)
+        goals = (rng.integers(0, 8, board.shape).astype(np.uint16) << 9)
+
+        game = SafeLifeGame()
+        game.deserialize({
+            "board": board.copy(),
+            "goals": goals.copy(),
+            "agent_locs": np.array([[y, x]]),
+            "agent_names": ["agent0"],
+            "min_performance": 0.3,
+            "points_table": DEFAULT_POINTS_TABLE[None].copy(),
+            "orientation": 1,
+        })
+        ref_env = SafeLifeEnv(
+            level_iterator=iter([game]),
+            view_shape=(15, 15),
+            time_limit=40,
+        )
+        ref_env.should_calculate_side_effects = False
+        ref_obs = ref_env.reset()
+
+        lv = Level(
+            board=board.astype(np.int32), goals=goals.astype(np.int32),
+            agent_locs=np.array([[y, x]]),
+            agent_names=np.array(["agent0"]),
+            points_table=DEFAULT_POINTS_TABLE[None].copy(),
+            min_performance=0.3, spawn_prob=0.3, name="parity")
+        # The reference deserializer writes orientation bits onto the
+        # agent cell; mirror that on our copy of the board.
+        lv.board[y, x] = int(game.board[y, x])
+        cfg = E.EnvConfig(view_shape=(15, 15), time_limit=40,
+                          auto_reset=False, goals_may_evolve=True)
+        pool = pack_levels([lv])
+        state, obs = E.reset(cfg, pool, __import__("jax").random.PRNGKey(0),
+                             1)
+        np.testing.assert_array_equal(np.asarray(obs[0, 0]), ref_obs,
+                                      err_msg="reset obs")
+
+        act_rng = np.random.default_rng(seed + 77)
+        import jax
+        key = jax.random.PRNGKey(0)
+        for t in range(45):
+            a = int(act_rng.integers(0, 9))
+            ref_obs, ref_r, ref_done, ref_info = ref_env.step(a)
+            key, k = jax.random.split(key)
+            state, obs, r, done, info = E.step(
+                cfg, pool, state, jnp.full((1, 1), a, jnp.int32), k)
+            np.testing.assert_array_equal(
+                np.asarray(state.board[0]).astype(np.uint16),
+                ref_env.game.board, err_msg="board at step %d" % t)
+            np.testing.assert_array_equal(
+                np.asarray(obs[0, 0]), ref_obs,
+                err_msg="obs at step %d" % t)
+            np.testing.assert_allclose(
+                float(np.asarray(r)[0, 0]), float(ref_r),
+                err_msg="reward at step %d" % t)
+            assert bool(np.asarray(done)[0, 0]) == bool(np.all(ref_done)), t
+            if np.all(ref_done):
+                break
