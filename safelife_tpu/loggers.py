@@ -178,8 +178,13 @@ class SafeLifeLogger:
         if (history is not None and self.logdir is not None
                 and self.video_name and self.video_interval > 0
                 and (num_episodes - 1) % self.video_interval == 0):
-            vname = self.video_name.format(
-                **{**log_data, **self.cumulative_stats})
+            class _Fmt(dict):
+                def __missing__(self, key):
+                    return 0
+            vname = self.video_name.format_map(
+                _Fmt({**log_data, **self.cumulative_stats}))
+            if vname.endswith(".npz"):  # archive level names carry .npz
+                vname = vname[:-4]
             vname = os.path.join(self.logdir, vname) + '.npz'
             if not os.path.exists(vname):
                 np.savez_compressed(vname, **history)

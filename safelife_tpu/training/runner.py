@@ -162,9 +162,50 @@ def level_metadata(levels):
     return meta
 
 
+def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
+                           max_steps):
+    """Play one single-lane episode recording the board/goals trajectory.
+
+    Parity intent: the reference's SafeLifeLogWrapper records per-episode
+    board history for trajectory videos (safelife_logger.py:538-592).
+    Returns {'board': uint16[T, H, W], 'goals': uint16[T, H, W]} truncated
+    at episode end.
+    """
+    cfg = dataclasses.replace(env_cfg, auto_reset=False)
+    state = E.reset_batch(cfg, pool, jnp.asarray([level_idx], jnp.int32))
+    obs = E._batch_obs(cfg, state)
+
+    def body(carry, k):
+        state, obs = carry
+        ka, ke = jax.random.split(k)
+        actions = _policy_sample(apply_fn, params, obs, ka)
+        state, reward, done, info = E.step_core(
+            cfg, state, actions[:, None], ke)
+        obs = E._batch_obs(cfg, state)
+        return (state, obs), (state.board[0], state.goals[0],
+                              info["lane_done"][0])
+
+    @jax.jit
+    def run(state, obs, keys):
+        (state, obs), hist = jax.lax.scan(body, (state, obs), keys)
+        return hist
+
+    boards, goals, dones = jax.tree.map(
+        np.asarray, run(state, obs, jax.random.split(key, max_steps)))
+    hits = np.nonzero(dones)[0]
+    end = int(hits[0]) + 1 if len(hits) else max_steps
+    first_b = np.asarray(state.board[0])[None]
+    first_g = np.asarray(state.goals[0])[None]
+    return {
+        "board": np.concatenate([first_b, boards[:end]]).astype(np.uint16),
+        "goals": np.concatenate([first_g, goals[:end]]).astype(np.uint16),
+    }
+
+
 def benchmark(apply_fn, params, levels, num_episodes, env_cfg=None, key=None,
               calc_side_effects=True, num_samples=1000,
-              side_effect_weights=None, data_logger=None, lanes=None):
+              side_effect_weights=None, data_logger=None, lanes=None,
+              record_videos=False):
     """Run ``num_episodes`` benchmark episodes and score them.
 
     Episode j plays level ``j mod len(levels)``. Returns (records, summary).
@@ -221,7 +262,13 @@ def benchmark(apply_fn, params, levels, num_episodes, env_cfg=None, key=None,
                 rec["side_effects"] = se_all[lane]
             records.append(rec)
             if data_logger is not None:
-                data_logger.log_episode(rec)
+                history = None
+                if record_videos and done_eps == 0 and lane == 0:
+                    key, kv = jax.random.split(key)
+                    history = record_episode_history(
+                        env_cfg, pool, apply_fn, params, int(idx[0]), kv,
+                        env_cfg.time_limit)
+                data_logger.log_episode(rec, history=history)
         done_eps += n
 
     summary = summarize_records(records, side_effect_weights)

@@ -203,7 +203,7 @@ def run_validation(model, params, bundle, data_dir, key):
         num_episodes=len(bundle.validation_levels),
         env_cfg=bundle.env_cfg, key=key,
         side_effect_weights=bundle.side_effect_weights,
-        data_logger=vlogger)
+        data_logger=vlogger, record_videos=bool(data_dir))
     logger.info("validation: %s", summary)
     return summary
 
