@@ -139,6 +139,22 @@ class SafeLifeLevelIterator:
                 result = _level_from_data(*data, **kwargs)
             self.results.append((data, result))
 
+    def close(self):
+        """Terminate worker processes (idempotent)."""
+        pool, self.pool = self.pool, None
+        if pool is not None:
+            try:
+                pool.terminate()
+                pool.join()
+            except Exception:
+                pass
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __getstate__(self):
         state = self.__dict__.copy()
         if self.num_workers > 0:

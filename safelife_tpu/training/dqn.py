@@ -287,8 +287,7 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
         lambda t, p: jnp.where(crossed, p, t),
         dstate.target_params, dstate.params))
     metrics = dict(metrics)
-    metrics["episodes"] = jax.tree.map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), ep_records)
+    metrics["episodes"] = ep_records
     metrics["epsilon"] = epsilon_schedule(cfg, dstate.num_steps)
     metrics["replay_size"] = size
     return dstate, ws, obs, metrics
@@ -297,3 +296,29 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
 collect_and_optimize = jax.jit(
     collect_and_optimize_impl,
     static_argnames=("env_cfg", "wcfg", "cfg", "apply_fn", "n_steps"))
+
+
+def train_chunk_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate, ws, obs,
+                     key, n_steps, n_iters):
+    """``n_iters`` collect+optimize units under one jit — amortizes the
+    per-call host round trip (tens of ms over a tunneled device)."""
+    def body(carry, k):
+        dstate, ws, obs = carry
+        dstate, ws, obs, metrics = collect_and_optimize_impl(
+            env_cfg, wcfg, cfg, apply_fn, pool, dstate, ws, obs, k, n_steps)
+        return (dstate, ws, obs), metrics
+
+    keys = jax.random.split(key, n_iters)
+    (dstate, ws, obs), metrics = jax.lax.scan(
+        body, (dstate, ws, obs), keys)
+    episodes = jax.tree.map(
+        lambda x: x.reshape((-1,) + x.shape[3:]), metrics.pop("episodes"))
+    metrics = jax.tree.map(lambda x: x[-1], metrics)
+    metrics["episodes"] = episodes
+    return dstate, ws, obs, metrics
+
+
+train_chunk = jax.jit(
+    train_chunk_impl,
+    static_argnames=("env_cfg", "wcfg", "cfg", "apply_fn", "n_steps",
+                     "n_iters"))

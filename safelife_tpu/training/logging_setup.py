@@ -86,7 +86,7 @@ def setup_data_logger(data_dir, episode_type):
     if config.get('_wandb'):
         import wandb
         summary_writer = False
-    elif config.get('run_type', 'train') == 'train':
+    elif config.setdefault('run_type', 'train') == 'train':
         wandb = None
         summary_writer = 'auto'
     else:

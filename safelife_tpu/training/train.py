@@ -171,14 +171,15 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
         level_meta=runner.level_metadata(
             bundle.pool_manager._host_levels))
     chunk = max(cfg.optimize_interval // batch_size, 1)
+    iters_per_chunk = 8
     next_report = report_interval
     while int(dstate.num_steps) < total_steps:
         key, k = jax.random.split(key)
-        dstate, ws, obs, metrics = dqn_mod.collect_and_optimize(
+        dstate, ws, obs, metrics = dqn_mod.train_chunk(
             env_cfg, wcfg, cfg, model.apply, bundle.pool_manager.pool,
-            dstate, ws, obs, k, chunk)
+            dstate, ws, obs, k, chunk, iters_per_chunk)
         collector.observe(jax.device_get(metrics.pop("episodes")),
-                          batch_steps=chunk * batch_size)
+                          batch_steps=chunk * batch_size * iters_per_chunk)
         n = int(dstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
         bundle.pool_manager.refresh(2)
