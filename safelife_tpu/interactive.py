@@ -231,6 +231,29 @@ class GameLoop:
                 self.handle_play_key(key)
 
 
+def _expand_benchmark_paths(paths):
+    """Expand ``benchmark-<name>`` to the packaged human-benchmark archive
+    (parity: interactive_game.py:909-913). Falls back to the reference's
+    v1.2 human archives when ours are absent."""
+    import os
+
+    from .io.levels import LEVEL_DIRECTORY
+
+    out = []
+    for p in paths:
+        if p.startswith("benchmark-"):
+            name = p[len("benchmark-"):] + "-human.npz"
+            for base in (os.path.join(LEVEL_DIRECTORY, "benchmarks", "v1.2"),
+                         "/root/reference/safelife/levels/benchmarks/v1.2"):
+                cand = os.path.join(base, name)
+                if os.path.exists(cand):
+                    p = cand
+                    break
+        out.append(p)
+    return out
+
+
 def play_cmd(args):
-    it = SafeLifeLevelIterator(*args.paths, seed=args.seed)
+    it = SafeLifeLevelIterator(*_expand_benchmark_paths(args.paths),
+                               seed=args.seed)
     GameLoop(it).run()

@@ -327,3 +327,23 @@ class TestFullEnvParity:
             assert bool(np.asarray(done)[0, 0]) == bool(np.all(ref_done)), t
             if np.all(ref_done):
                 break
+
+
+class TestBatchedLockstepParity:
+    """BASELINE config 2: batched vectorized lockstep rollout, exact-match
+    vs the C engine (each lane advanced independently by the C kernel)."""
+
+    def test_batched_advance_matches_c_loop(self):
+        rng = np.random.default_rng(21)
+        boards = np.stack([_soup(np.random.default_rng(s))
+                           for s in range(16)])
+        ours = np.asarray(jax.jit(
+            lambda b: advance.advance_board_nstep(
+                b, jax.random.PRNGKey(0), 0.0, 20))(boards.astype(np.int32)))
+        for i in range(len(boards)):
+            b = boards[i].copy()
+            for _ in range(20):
+                b = speedups.advance_board(b, 0.0)
+            np.testing.assert_array_equal(
+                ours[i].astype(np.uint16), b, err_msg="lane %d" % i)
+        del rng
