@@ -21,7 +21,7 @@ import numpy as np
 REFERENCE_BASELINE_STEPS_PER_S = 1.0e4
 BATCH = 4096
 SCAN_STEPS = 100
-TIMED_REPS = 5
+TIMED_REPS = 20
 
 
 def log(*args):
@@ -87,6 +87,10 @@ def main():
     t0 = time.perf_counter()
     for i in range(TIMED_REPS):
         state, rsum = run(state, jax.random.PRNGKey(2 + i))
+    # A real scalar fetch: the donated state chains the calls, so waiting
+    # on the last reward sum forces completion of every timed rep (over a
+    # tunneled device, block_until_ready alone can under-report).
+    log("reward checksum:", float(rsum))
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
