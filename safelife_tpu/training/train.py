@@ -13,7 +13,7 @@ import time
 import jax
 import numpy as np
 
-from ..env import wrappers as W
+from ..env import env as E, wrappers as W
 from ..loggers import EpisodeCollector, SafeLifeLogger, summarize_run
 from ..models.nets import SafeLifePolicyNetwork, SafeLifeQNetwork
 from . import dqn as dqn_mod, ppo as ppo_mod, runner
@@ -84,10 +84,27 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
     ckpt = data_dir and CheckpointManager(
         data_dir, interval=checkpoint_interval)
     if ckpt:
-        restored, extra, step = ckpt.restore(
-            {"params": pstate.params, "opt_state": pstate.opt_state,
-             "num_steps": pstate.num_steps})
+        # Full resume includes the env-batch state (mid-episode boards) —
+        # possible here because env state is just arrays, unlike the
+        # reference, whose resume restarts every episode.
+        restored = extra = step = None
+        try:
+            restored, extra, step = ckpt.restore(
+                {"params": pstate.params, "opt_state": pstate.opt_state,
+                 "num_steps": pstate.num_steps, "env_state": ws})
+        except Exception:
+            try:  # older checkpoints without env state
+                restored, extra, step = ckpt.restore(
+                    {"params": pstate.params,
+                     "opt_state": pstate.opt_state,
+                     "num_steps": pstate.num_steps})
+            except Exception:
+                logger.warning(
+                    "checkpoint restore failed (shape mismatch?); "
+                    "starting fresh")
         if restored is not None:
+            ws = restored.pop("env_state", ws)
+            obs = E._batch_obs(env_cfg, ws.env)
             pstate = pstate.replace(**restored)
             if extra:
                 bundle.training_logger.cumulative_stats.update(extra)
@@ -121,7 +138,7 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
         if ckpt:
             ckpt.save_if_needed(
                 n, {"params": pstate.params, "opt_state": pstate.opt_state,
-                    "num_steps": pstate.num_steps},
+                    "num_steps": pstate.num_steps, "env_state": ws},
                 dict(bundle.training_logger.cumulative_stats))
 
         if n >= next_report:
@@ -142,7 +159,8 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
 
     if ckpt:
         ckpt.save(int(pstate.num_steps),
-                  {"params": pstate.params, "opt_state": pstate.opt_state,
+                  {"env_state": ws,
+                   "params": pstate.params, "opt_state": pstate.opt_state,
                    "num_steps": pstate.num_steps},
                   dict(bundle.training_logger.cumulative_stats))
     return model, pstate
