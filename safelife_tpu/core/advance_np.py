@@ -25,9 +25,10 @@ def advance_board_np(board, rng=None, spawn_prob=0.3):
     """One physics step on the host. board: int array (H, W) or batched.
 
     With ``rng`` None the step is deterministic (spawners never fire) —
-    exactly correct for spawner-free boards. With an ``rng``, each cell
-    draws an independent uniform (fast-mode distribution; use the
-    raster-order oracle in tests/oracle.py for stream-exact draws).
+    exactly correct for spawner-free boards. With an ``rng``, spawn draws
+    consume the generator stream exactly like the reference C kernel (one
+    draw per eligible cell in raster order), so host-side games reproduce
+    reference trajectories bit-for-bit under the same seed.
     """
     board = np.asarray(board).astype(np.int64)
     m = board | ((board & C.DESTRUCTIBLE) << 5)
@@ -64,10 +65,18 @@ def advance_board_np(board, rng=None, spawn_prob=0.3):
 
     newborn = C.ALIVE | cons_colors | cons_destr
     spawned = C.ALIVE | C.DESTRUCTIBLE | cons_colors
-    if rng is None:
-        do_spawn = np.zeros(board.shape, bool)
-    else:
-        do_spawn = rng.random(board.shape) < float(np.float32(spawn_prob))
+    do_spawn = np.zeros(board.shape, bool)
+    if rng is not None:
+        # Stream-exact spawn draws: the C kernel consumes one next_double
+        # per *eligible* cell in raster order (advance_board.c:96-124);
+        # ``rng.random(k)`` consumes the identical generator stream, so
+        # the host engine reproduces reference trajectories bit-for-bit
+        # under the same seed (verified vs the built C engine in
+        # tests/test_c_engine_parity.py).
+        eligible = (~is_alive) & (~frozen) & (~inhibited) \
+            & (count != 3) & spawn_nbr
+        draws = rng.random(int(eligible.sum()))
+        do_spawn[eligible] = draws < float(np.float32(spawn_prob))
     dead_out = np.where(
         frozen | inhibited, board,
         np.where(count == 3, newborn,

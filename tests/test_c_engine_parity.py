@@ -347,3 +347,23 @@ class TestBatchedLockstepParity:
             np.testing.assert_array_equal(
                 ours[i].astype(np.uint16), b, err_msg="lane %d" % i)
         del rng
+
+
+class TestHostEngineStochasticParity:
+    """The production host engine (advance_board_np, used by the
+    interactive game API) must consume the same generator stream as the
+    C kernel — not just match in distribution."""
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_stream_exact(self, seed):
+        rng_c = np.random.default_rng(500 + seed)
+        rng_np = np.random.default_rng(500 + seed)
+        speedups.set_bit_generator(rng_c.bit_generator)
+        b_c = _soup(np.random.default_rng(seed), spawners=True)
+        b_np = b_c.astype(np.int64)
+        for t in range(30):
+            b_c = speedups.advance_board(b_c, 0.3)
+            b_np = advance_board_np(b_np, rng_np, 0.3)
+            np.testing.assert_array_equal(
+                b_c.astype(np.int64), b_np,
+                err_msg="host stream diverged at step %d" % t)
