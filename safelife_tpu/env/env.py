@@ -19,14 +19,13 @@ the device-resident pool, so rollouts never leave the device.
 """
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 from ..core import actions as actions_mod, advance, cells as C, scoring
 from ..core.scoring import POINTS_ON_LEVEL_EXIT
-from .state import EnvState, LaneLevel, LevelBatch
+from .state import EnvState, LaneLevel
 
 DEFAULT_CHANNELS = tuple(range(16)) + (25, 26, 27)
 

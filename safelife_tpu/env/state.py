@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import advance, cells as C, scoring
+from ..core import cells as C, scoring
 
 
 @flax.struct.dataclass

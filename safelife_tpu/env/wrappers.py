@@ -27,7 +27,6 @@ traced scalars so training schedules don't trigger recompiles.
 """
 
 import dataclasses
-from functools import partial
 
 import flax.struct
 import jax

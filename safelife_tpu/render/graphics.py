@@ -12,7 +12,6 @@ this project ships no binary assets. The full blit is vectorized NumPy; at
 renderer is needed.
 """
 
-import os
 
 import numpy as np
 

@@ -17,10 +17,8 @@ from functools import partial
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from ..env import env as E
 
 
 @dataclasses.dataclass(frozen=True)

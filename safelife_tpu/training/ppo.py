@@ -20,7 +20,6 @@ losses ``ppo.py:145-166``, advantage recursion ``ppo.py:119-132``):
 """
 
 import dataclasses
-from functools import partial
 
 import flax.struct
 import jax

@@ -18,7 +18,7 @@ from ..loggers import EpisodeCollector, SafeLifeLogger, summarize_run
 from ..models.nets import SafeLifePolicyNetwork, SafeLifeQNetwork
 from . import dqn as dqn_mod, ppo as ppo_mod, runner
 from .checkpoints import CheckpointManager
-from .global_config import build_config, config as global_config
+from .global_config import build_config
 
 logger = logging.getLogger(__name__)
 
