@@ -204,6 +204,8 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
     wrapper_cfg = W.WrapperConfig(
         se_baseline=config.setdefault('side_effect.baseline',
                                       'starting-state'),
+        ignore_reward_cells=config.setdefault(
+            'side_effect.ignore_reward_cells', False),
     )
 
     training_logger = SafeLifeLogger(
