@@ -166,6 +166,7 @@ def reset_batch(cfg, pool, idx):
         init_points=g(pool.init_points),
         required_points=scoring.required_points(
             g(pool.min_performance), g(pool.available_points)),
+        available_points=g(pool.available_points),
         spawn_prob=g(pool.spawn_prob),
         goals_static=g(pool.goals_static),
         exit_mask=g(pool.exit_mask),
@@ -340,6 +341,14 @@ def _finish_one(cfg, s, board, goals, agent_locs, cells):
         "episode_reward": episode_reward,
         "episode_length": episode_length,
         "level_idx": s.level_idx,
+        # Per-lane score denominators, captured at episode time so logged
+        # records stay correct even after the pool slot is recycled
+        # (parity: safelife_logger.py:286-294, single-agent squeeze).
+        "reward_possible": jnp.sum(
+            lv.available_points[:1] * lv.agent_mask[:1])
+        + POINTS_ON_LEVEL_EXIT,
+        "reward_needed": jnp.sum(
+            lv.required_points[:1] * lv.agent_mask[:1]),
     }
 
     return s, reward, done, info
@@ -413,7 +422,7 @@ def lazy_lane_reset(lane_done, key, num_levels, fresh_fn, state):
                         lambda st: st, state)
 
 
-def sample_episode_record(pool, state, info):
+def sample_episode_record(init_boards, state, info, valid=True):
     """A single finished episode's (init, final) board pair for side-effect
     telemetry.
 
@@ -422,12 +431,17 @@ def sample_episode_record(pool, state, info):
     scale that would dominate the step, so each step instead captures at
     most one finished episode (the first done lane); the training loop
     scores a sampled subset of these on the device occupancy kernel.
+
+    ``init_boards`` must be the episodes' own starting boards (e.g. the
+    wrapper's starting-state baseline) — re-reading the level pool would
+    race with pool refreshes recycling slots mid-episode. ``valid=False``
+    (static) marks the capture unusable (e.g. inaction-baseline mode,
+    whose baseline board evolves).
     """
     lane = jnp.argmax(info["lane_done"])
     return {
-        "found": jnp.any(info["lane_done"]),
-        "init_board": jnp.take(pool.board, jnp.take(state.level_idx, lane),
-                               axis=0),
+        "found": jnp.any(info["lane_done"]) & bool(valid),
+        "init_board": jnp.take(init_boards, lane, axis=0),
         "final_board": jnp.take(state.board, lane, axis=0),
         "num_steps": jnp.take(state.num_steps, lane),
         "spawn_prob": jnp.take(state.level.spawn_prob, lane),

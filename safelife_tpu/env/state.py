@@ -36,6 +36,7 @@ class LaneLevel:
     table_flat: jax.Array       # int32 [A, 72]
     init_points: jax.Array      # int32 [A]
     required_points: jax.Array  # int32 [A]
+    available_points: jax.Array  # float32 [A]
     spawn_prob: jax.Array       # float32 []
     goals_static: jax.Array     # bool []
     exit_mask: jax.Array        # bool  [H, W]

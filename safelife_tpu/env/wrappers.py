@@ -167,7 +167,9 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
     core_cfg = dataclasses.replace(cfg, auto_reset=False)
     env2, reward, done, info = E.step_core(
         core_cfg, state.env, actions, phys_key)
-    info["ep_sample"] = E.sample_episode_record(pool, env2, info)
+    info["ep_sample"] = E.sample_episode_record(
+        state.baseline_board, env2, info,
+        valid=(wcfg.se_baseline == "starting-state"))
 
     if wcfg.enabled:
         if wcfg.se_baseline == "inaction":

@@ -221,8 +221,16 @@ class LevelPoolManager:
         results; generation latency overlaps device compute. The device
         update is one jitted call (over a tunneled device, per-op
         dispatches made naive refreshes take seconds).
+
+        The pool's static guarantees (rows_packed/all_goals_static/
+        spawner_free) are pinned at construction: they are baked into the
+        pytree aux data of every carried env state, so flipping them
+        mid-run would make the carried state tree-incompatible with fresh
+        states. Replacement levels that violate a guarantee are dropped
+        (logged) instead — generation simply continues.
         """
-        import jax
+        import logging
+
         import jax.numpy as jnp
 
         new = []
@@ -236,49 +244,48 @@ class LevelPoolManager:
                 new.append(next(self.iterator))
             except StopIteration:
                 break
-        if not new:
+        kept = [lv for lv in new if self._level_compatible(lv)]
+        if len(kept) < len(new):
+            logging.getLogger(__name__).warning(
+                "dropped %d generated level(s) violating the pool's "
+                "static guarantees", len(new) - len(kept))
+        if not kept:
             return 0
-        for lv in new:
+        for lv in kept:
             self._host_levels[self._slot] = lv
             self._slot = (self._slot + 1) % len(self._host_levels)
         flags = (self.pool.rows_packed, self.pool.all_goals_static,
                  self.pool.spawner_free)
-        fresh = self._pack(new, self.pool.agent_locs.shape[-2],
+        fresh = self._pack(kept, self.pool.agent_locs.shape[-2],
                            self.pool.exit_locs.shape[-2], force_flags=flags)
-        if (fresh.rows_packed, fresh.all_goals_static,
-                fresh.spawner_free) != flags or not self._flags_valid(new):
-            # A replacement level breaks a pool-wide static guarantee
-            # (e.g. dynamic goals entering an all-static pool): rebuild the
-            # whole pool so the flags are consistent. Rare; triggers one
-            # recompile downstream.
-            self.pool = self._pack(self._host_levels, self.pad_agents,
-                                   self.pad_exits)
-            return len(new)
         idx = jnp.asarray(
-            [(self._slot - len(new) + i) % len(self._host_levels)
-             for i in range(len(new))], jnp.int32)
+            [(self._slot - len(kept) + i) % len(self._host_levels)
+             for i in range(len(kept))], jnp.int32)
         self.pool = _swap_rows(self.pool, fresh, idx)
-        return len(new)
+        return len(kept)
 
-    def _flags_valid(self, new_levels):
-        """Whether the fresh levels honor the pool's static guarantees."""
+    def _level_compatible(self, lv):
+        """Whether a fresh level honors the pool's static guarantees
+        (and its agent/exit padding)."""
         import numpy as np
 
         from ..core import cells as C
+        from ..core.scoring import rows_packable
         from ..env.state import goals_are_static
 
-        if self.pool.spawner_free and any(
-                ((lv.board | lv.goals) & C.SPAWNING).any()
-                for lv in new_levels):
+        if lv.num_agents > self.pool.agent_locs.shape[-2]:
             return False
-        if self.pool.all_goals_static and not all(
-                goals_are_static(lv.goals) for lv in new_levels):
+        n_exits = int(((lv.board & (C.EXIT | C.AGENT)) == C.EXIT).sum())
+        if n_exits > self.pool.exit_locs.shape[-2]:
             return False
-        if self.pool.rows_packed:
-            from ..core.scoring import rows_packable
-            if not all(rows_packable(np.asarray(lv.points_table))
-                       for lv in new_levels):
-                return False
+        if self.pool.spawner_free and bool(
+                ((lv.board | lv.goals) & C.SPAWNING).any()):
+            return False
+        if self.pool.all_goals_static and not goals_are_static(lv.goals):
+            return False
+        if self.pool.rows_packed and not rows_packable(
+                np.asarray(lv.points_table)):
+            return False
         return True
 
 
@@ -301,9 +308,10 @@ def gen_many(param_file, out_dir, num_gen, num_workers=8, seed=None):
     for k in range(1, num_gen + 1):
         fname = os.path.join(
             out_dir, "%s-%0*d.npz" % (base_name, digits, k))
-        if os.path.exists(fname):
+        lv = next(it)  # always consume: a resumed seeded run must keep
+        if os.path.exists(fname):   # the stream aligned with file indices
             continue
-        L.save_level(next(it), fname)
+        L.save_level(lv, fname)
 
 
 def combine_levels(directory, out_file=None):

@@ -284,6 +284,16 @@ class EpisodeCollector:
         for lane in np.nonzero(lane_done)[0]:
             idx = int(np.asarray(info["level_idx"])[lane])
             meta = self.level_meta.get(idx, {})
+            # Score denominators come from the per-lane records captured
+            # at episode time when present (pool slots can be recycled
+            # mid-episode, making slot metadata stale); the slot name is
+            # cosmetic and kept as a best-effort label.
+            if "reward_possible" in info:
+                possible = float(np.asarray(info["reward_possible"])[lane])
+                needed = int(np.asarray(info["reward_needed"])[lane])
+            else:
+                possible = meta.get("reward_possible", 0.0)
+                needed = meta.get("reward_needed", 0)
             ep = {
                 "level_name": meta.get("name", "level-%d" % idx),
                 "length": np.asarray(
@@ -291,8 +301,8 @@ class EpisodeCollector:
                 "reward": np.asarray(
                     info["episode_reward"])[lane].tolist(),
                 "success": np.asarray(info["success"])[lane].tolist(),
-                "reward_possible": meta.get("reward_possible", 0.0),
-                "reward_needed": meta.get("reward_needed", 0),
+                "reward_possible": possible,
+                "reward_needed": needed,
             }
             if np.ndim(ep["length"]) and len(ep["length"]) == 1:
                 ep = {k: (v[0] if isinstance(v, list) and len(v) == 1 else v)

@@ -243,6 +243,8 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
             "episode_length": info["episode_length"],
             "success": info["success"],
             "level_idx": info["level_idx"],
+            "reward_possible": info["reward_possible"],
+            "reward_needed": info["reward_needed"],
         }
         return (dstate, ws2, obs2), ep
 

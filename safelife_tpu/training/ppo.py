@@ -100,6 +100,8 @@ def rollout(env_cfg, wcfg, pool, apply_fn, params, ws, obs, key, n_steps,
                 "episode_length": info["episode_length"],
                 "success": info["success"],
                 "level_idx": info["level_idx"],
+                "reward_possible": info["reward_possible"],
+                "reward_needed": info["reward_needed"],
                 "sample": info["ep_sample"],
             },
         }

@@ -22,9 +22,26 @@ from ..side_effects import earth_mover_distance
 from ..render.text import cell_name
 
 
+#: ε for near-greedy Q-network evaluation (parity: the reference's
+#: testing epsilon, dqn.py epsilon_testing = 0.01).
+EPSILON_TESTING = 0.01
+
+
 def _policy_sample(apply_fn, params, obs, key):
-    values, policy = apply_fn(params, obs[:, 0])
-    return jax.random.categorical(key, jnp.log(policy + 1e-30))
+    """Sample actions from either network family: actor-critic models
+    return (values, policy); Q networks return a single [B, n] array,
+    evaluated ε-greedily with the reference's testing epsilon."""
+    out = apply_fn(params, obs[:, 0])
+    if isinstance(out, tuple):
+        values, policy = out
+        return jax.random.categorical(key, jnp.log(policy + 1e-30))
+    qvals = out
+    k1, k2 = jax.random.split(key)
+    greedy = jnp.argmax(qvals, axis=-1).astype(jnp.int32)
+    rand = jax.random.randint(
+        k1, greedy.shape, 0, qvals.shape[-1], jnp.int32)
+    explore = jax.random.uniform(k2, greedy.shape) < EPSILON_TESTING
+    return jnp.where(explore, rand, greedy)
 
 
 def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
@@ -183,23 +200,38 @@ def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
             cfg, state, actions[:, None], ke)
         obs = E._batch_obs(cfg, state)
         return (state, obs), (state.board[0], state.goals[0],
-                              info["lane_done"][0])
+                              info["lane_done"][0],
+                              info["episode_reward"][0],
+                              info["episode_length"][0],
+                              info["success"][0],
+                              info["reward_possible"][0],
+                              info["reward_needed"][0])
 
     @jax.jit
     def run(state, obs, keys):
         (state, obs), hist = jax.lax.scan(body, (state, obs), keys)
         return hist
 
-    boards, goals, dones = jax.tree.map(
+    (boards, goals, dones, ep_rew, ep_len, success, possible,
+     needed) = jax.tree.map(
         np.asarray, run(state, obs, jax.random.split(key, max_steps)))
     hits = np.nonzero(dones)[0]
     end = int(hits[0]) + 1 if len(hits) else max_steps
+    last = end - 1
     first_b = np.asarray(state.board[0])[None]
     first_g = np.asarray(state.goals[0])[None]
-    return {
+    history = {
         "board": np.concatenate([first_b, boards[:end]]).astype(np.uint16),
         "goals": np.concatenate([first_g, goals[:end]]).astype(np.uint16),
     }
+    stats = {
+        "reward": float(ep_rew[last][0]),
+        "length": int(ep_len[last][0]),
+        "success": bool(success[last][0]),
+        "reward_possible": float(possible[last]),
+        "reward_needed": int(needed[last]),
+    }
+    return history, stats
 
 
 def benchmark(apply_fn, params, levels, num_episodes, env_cfg=None, key=None,
@@ -262,13 +294,18 @@ def benchmark(apply_fn, params, levels, num_episodes, env_cfg=None, key=None,
                 rec["side_effects"] = se_all[lane]
             records.append(rec)
             if data_logger is not None:
-                history = None
-                if record_videos and done_eps == 0 and lane == 0:
-                    key, kv = jax.random.split(key)
-                    history = record_episode_history(
-                        env_cfg, pool, apply_fn, params, int(idx[0]), kv,
-                        env_cfg.time_limit)
-                data_logger.log_episode(rec, history=history)
+                data_logger.log_episode(rec)
+        if record_videos and data_logger is not None and done_eps == 0:
+            # The video rollout is its own episode (fresh RNG, stochastic
+            # policy); logging it with its *own* stats keeps the saved
+            # trajectory consistent with the record it accompanies.
+            key, kv = jax.random.split(key)
+            history, vstats = record_episode_history(
+                env_cfg, pool, apply_fn, params, int(idx[0]), kv,
+                env_cfg.time_limit)
+            vrec = {"level_name": meta[int(idx[0])]["name"] + "-video",
+                    **vstats}
+            data_logger.log_episode(vrec, history=history)
         done_eps += n
 
     summary = summarize_records(records, side_effect_weights)

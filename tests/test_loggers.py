@@ -101,3 +101,30 @@ class TestLoggerAndCollector:
         assert data["side_effects.life-green"].shape == (3, 2)
         summary = L.summarize_run_file(str(tmp_path / "benchmark-data.json"))
         assert 0 <= summary["success"] <= 1
+
+
+class TestCollectorPerLaneMetadata:
+    """Episode records must use score denominators captured at episode
+    time (pool slots are recycled mid-episode, so slot metadata can be
+    stale)."""
+
+    def test_record_overrides_slot_meta(self, tmp_path):
+        from safelife_tpu.loggers import EpisodeCollector, SafeLifeLogger
+
+        lg = SafeLifeLogger(str(tmp_path), episode_type="training")
+        col = EpisodeCollector(
+            lg, level_meta={0: {"name": "slot0", "reward_possible": 99.0,
+                                "reward_needed": 77}})
+        info = {
+            "lane_done": np.array([True]),
+            "level_idx": np.array([0]),
+            "episode_length": np.array([[12]]),
+            "episode_reward": np.array([[3.0]]),
+            "success": np.array([[True]]),
+            "reward_possible": np.array([10.0]),
+            "reward_needed": np.array([5]),
+        }
+        eps = col.observe(info, batch_steps=1)
+        assert eps[0]["reward_possible"] == 10.0
+        assert eps[0]["reward_needed"] == 5
+        assert eps[0]["level_name"] == "slot0"

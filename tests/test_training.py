@@ -60,3 +60,27 @@ class TestTrainingLoops:
             bundle2, total_steps=n1 + 200, batch_size=8, seed=0,
             data_dir=str(tmp_path), checkpoint_interval=160)
         assert int(state2.num_steps) > n1
+
+
+class TestQNetworkEvaluation:
+    def test_benchmark_with_q_network(self):
+        """The episode runner must evaluate Q networks (single-array
+        apply) ε-greedily, not just actor-critic tuples."""
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+        from safelife_tpu.models.nets import SafeLifeQNetwork
+        from safelife_tpu.env import env as E
+        from safelife_tpu.training import runner
+
+        it = SafeLifeLevelIterator("random/append-still", seed=3,
+                                   num_workers=0)
+        levels = [next(it) for _ in range(2)]
+        model = SafeLifeQNetwork()
+        params = model.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 25, 25, 15), np.float32))
+        cfg = E.EnvConfig(view_shape=(25, 25),
+                          output_channels=tuple(range(15)), time_limit=20)
+        records, summary = runner.benchmark(
+            model.apply, params, levels, num_episodes=2, env_cfg=cfg,
+            key=jax.random.PRNGKey(1), num_samples=20)
+        assert len(records) == 2
+        assert np.isfinite(summary["score"])
