@@ -107,6 +107,7 @@ def cmd_train(args):
         config.update(json.loads(args.extra_params))
     config["env_type"] = args.env_type
     config["run_type"] = args.run_type
+    config.setdefault("run_type", args.run_type)  # mark as consumed
     if args.seed is not None:
         config["seed"] = args.seed
 
