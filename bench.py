@@ -34,8 +34,7 @@ def load_pool():
 
     candidates = [
         os.path.join(os.path.dirname(__file__),
-                     "safelife_tpu/levels/benchmarks/v1/append-still.npz"),
-        "/root/reference/safelife/levels/benchmarks/v1.0/append-still.npz",
+                     "safelife_tpu/levels/benchmarks/v1.0/append-still.npz"),
     ]
     for path in candidates:
         if os.path.exists(path):

@@ -64,7 +64,7 @@ def main():
     from safelife_tpu.io.levels import LEVEL_DIRECTORY, load_levels
 
     pool = pack_levels(load_levels(os.path.join(
-        LEVEL_DIRECTORY, "benchmarks/v1/append-still.npz")))
+        LEVEL_DIRECTORY, "benchmarks/v1.0/append-still.npz")))
     cfg = E.EnvConfig(view_shape=(25, 25), output_channels=None,
                       time_limit=1000, goals_may_evolve=False,
                       stochastic=False, auto_reset=True)

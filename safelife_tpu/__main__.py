@@ -123,10 +123,15 @@ def cmd_train(args):
     tb_proc = None
     if args.port and args.data_dir:
         import subprocess
-        tb_proc = subprocess.Popen(
-            ["tensorboard", "--logdir", args.data_dir,
-             "--port", str(args.port)],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        try:
+            tb_proc = subprocess.Popen(
+                ["tensorboard", "--logdir", args.data_dir,
+                 "--port", str(args.port)],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except (FileNotFoundError, OSError) as exc:
+            logging.getLogger(__name__).warning(
+                "could not launch tensorboard (%s); continuing without it",
+                exc)
 
     try:
         bundle = build_environments(config, data_dir=args.data_dir)

@@ -261,9 +261,13 @@ def _physics_batch(cfg, state, actions, key):
     cfg = dataclasses.replace(cfg, goals_may_evolve=evolve_goals,
                               stochastic=stochastic)
     if ops.use_fused_physics((h, w), b):
+        # Two independent 32-bit seed words per stream (board, goals): a
+        # single word birthday-collides within ~1e5 steps and would replay
+        # identical spawn-noise patterns across steps.
         k1, k2 = jax.random.split(key)
-        seed = jax.random.randint(k1, (2,), 0, jnp.iinfo(jnp.int32).max,
-                                  jnp.int32)
+        seed = jax.random.randint(
+            k1, (2, 2), jnp.iinfo(jnp.int32).min,
+            jnp.iinfo(jnp.int32).max, jnp.int32)
         board, agent_locs, cells = ops.fused_actions_advance(
             state.board.reshape(b, h * w), state.agent_locs, actions,
             state.level.spawn_prob, seed[0],
@@ -363,8 +367,8 @@ def advance_batch(cfg, boards, spawn_prob, key):
 
     b, h, w = boards.shape
     if ops.use_fused_physics((h, w), b):
-        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
-                                  jnp.int32)
+        seed = jax.random.randint(key, (2,), jnp.iinfo(jnp.int32).min,
+                                  jnp.iinfo(jnp.int32).max, jnp.int32)
         return ops.advance_pallas(
             boards.reshape(b, h * w), spawn_prob, seed,
             h=h, w=w, stochastic=cfg.stochastic).reshape(b, h, w)

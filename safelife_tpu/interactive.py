@@ -232,9 +232,8 @@ class GameLoop:
 
 
 def _expand_benchmark_paths(paths):
-    """Expand ``benchmark-<name>`` to the packaged human-benchmark archive
-    (parity: interactive_game.py:909-913). Falls back to the reference's
-    v1.2 human archives when ours are absent."""
+    """Expand ``benchmark-<name>`` to the packaged v1.2 human-benchmark
+    archive (parity: interactive_game.py:909-913)."""
     import os
 
     from .io.levels import LEVEL_DIRECTORY
@@ -243,12 +242,9 @@ def _expand_benchmark_paths(paths):
     for p in paths:
         if p.startswith("benchmark-"):
             name = p[len("benchmark-"):] + "-human.npz"
-            for base in (os.path.join(LEVEL_DIRECTORY, "benchmarks", "v1.2"),
-                         "/root/reference/safelife/levels/benchmarks/v1.2"):
-                cand = os.path.join(base, name)
-                if os.path.exists(cand):
-                    p = cand
-                    break
+            cand = os.path.join(LEVEL_DIRECTORY, "benchmarks", "v1.2", name)
+            if os.path.exists(cand):
+                p = cand
         out.append(p)
     return out
 

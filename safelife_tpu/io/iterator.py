@@ -214,6 +214,10 @@ class LevelPoolManager:
         self.pool = self._pack(levels, pad_agents, pad_exits)
         self._slot = 0
 
+    def close(self):
+        """Shut down the backing iterator's worker processes."""
+        self.iterator.close()
+
     def refresh(self, max_new=8):
         """Pull up to ``max_new`` ready levels and swap them into the pool.
 
@@ -354,7 +358,9 @@ def gen_benchmarks(out_dir=None, tasks=BENCHMARK_TASKS, num=100,
     """Generate the fixed benchmark archives (parity:
     ``gen_benchmarks``, reference level_iterator.py:344-357): ``num``
     frozen levels per task, packed one archive per task under
-    ``<levels>/benchmarks/v1/``. Deterministic given ``seed``.
+    ``<levels>/benchmarks/v1/`` (fresh archives for new specs; the
+    canonical suite is the packaged frozen v1.0). Deterministic given
+    ``seed``.
     """
     out_dir = out_dir or os.path.join(L.LEVEL_DIRECTORY, "benchmarks", "v1")
     os.makedirs(out_dir, exist_ok=True)

@@ -23,27 +23,55 @@ logger = logging.getLogger(__name__)
 
 
 class StreamingJSONWriter:
-    """Appends entries to a JSON list file, keeping it valid after every
-    dump (parity: safelife_logger.py:58-91)."""
+    """Maintains a JSON array on disk that stays parseable between appends.
+
+    Role parity with the reference's streaming episode log
+    (``safelife_logger.py:58-91``); the mechanism here is different: the
+    writer tracks the byte offset where the array's closing bracket
+    begins, and each :meth:`dump` truncates that tail, appends the new
+    entry, and re-terminates the array. Opening an existing file first
+    *parses* it, so resuming after a partial/corrupt write rewrites a
+    clean file instead of appending garbage (and resuming an empty
+    ``[]`` log works, which the seek-back approach can't handle).
+    """
+
+    _TAIL = "\n]\n"
 
     def __init__(self, filename, encoder=json.JSONEncoder):
-        if os.path.exists(filename):
-            self.file = open(filename, 'r+')
-            self.delimeter = ','
-        else:
-            self.file = open(filename, 'w')
-            self.delimeter = '['
-            self.file.write('[]\n')
-            self.file.flush()
         self.encoder = encoder
+        entries = []
+        if os.path.exists(filename):
+            try:
+                with open(filename) as f:
+                    prior = json.load(f)
+                if isinstance(prior, list):
+                    entries = prior
+            except (json.JSONDecodeError, OSError):
+                logger.warning(
+                    "%s is not a valid JSON list; rewriting it", filename)
+        self.file = open(filename, 'w')
+        self.file.write('[')
+        for i, entry in enumerate(entries):
+            self._write_entry(entry, first=(i == 0))
+        self._count = len(entries)
+        self._tail_pos = self.file.tell()
+        self.file.write(self._TAIL if entries else ']\n')
+        self.file.flush()
+
+    def _write_entry(self, obj, first):
+        if not first:
+            self.file.write(',')
+        self.file.write('\n    ')
+        self.file.write(json.dumps(obj, cls=self.encoder))
 
     def dump(self, obj):
-        data = json.dumps(obj, cls=self.encoder)
-        close_str = "\n]\n"
-        self.file.seek(max(self.file.seek(0, os.SEEK_END) - len(close_str), 0))
-        self.file.write("%s\n    %s%s" % (self.delimeter, data, close_str))
+        self.file.seek(self._tail_pos)
+        self.file.truncate()
+        self._write_entry(obj, first=(self._count == 0))
+        self._count += 1
+        self._tail_pos = self.file.tell()
+        self.file.write(self._TAIL)
         self.file.flush()
-        self.delimeter = ','
 
     def close(self):
         self.file.close()

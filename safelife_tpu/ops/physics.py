@@ -72,6 +72,14 @@ def _pick_block(batch):
     return lb
 
 
+def _seed_words(seed):
+    """Normalize a scalar or 2-vector seed to the (1, 2) SMEM layout."""
+    s = jnp.atleast_1d(jnp.asarray(seed, jnp.int32)).reshape(-1)
+    if s.shape[0] == 1:
+        s = jnp.concatenate([s, jnp.zeros((1,), jnp.int32)])
+    return s.reshape(1, 2)
+
+
 def _roll(v, shift):
     """Cyclic roll along the cell axis; out[i] = in[(i - shift) mod n].
 
@@ -250,7 +258,9 @@ def _physics_kernel(board_ref, locs_ref, act_ref, sprob_ref, seed_ref,
     b, out_ys, out_xs = _actions_block(b, locs, acts, f, h, w, n_agents)
 
     if stochastic:
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        # Two seed words keep the per-step stream unique over long runs
+        # (a single 31-bit word birthday-collides within ~1e5 steps).
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0), seed_ref[0, 1])
         bits = pltpu.prng_random_bits((lb, hw))
         # bits may arrive as signed int32; take the top 24 bits unsigned.
         u = ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
@@ -278,7 +288,8 @@ def fused_actions_advance(board, agent_locs, actions, spawn_prob, seed,
     agent_locs : int32[B, A, 2]
     actions : int32[B, A] (masked actions; padded agents must be 0)
     spawn_prob : float32[B] (ignored unless stochastic)
-    seed : int32[] scalar seed for the on-core PRNG
+    seed : int32[2] seed words for the on-core PRNG (two words so the
+        per-step spawn-noise stream stays unique over long runs)
     """
     bsz, hw = board.shape
     a = agent_locs.shape[1]
@@ -298,7 +309,7 @@ def fused_actions_advance(board, agent_locs, actions, spawn_prob, seed,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -319,7 +330,7 @@ def fused_actions_advance(board, agent_locs, actions, spawn_prob, seed,
         agent_locs.astype(jnp.int32),
         actions.astype(jnp.int32),
         spawn_prob.reshape(bsz, 1).astype(jnp.float32),
-        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        _seed_words(seed),
     )
     return out_board, out_locs, out_cells
 
@@ -332,7 +343,7 @@ def _advance_kernel(board_ref, sprob_ref, seed_ref, out_ref,
     f = jax.lax.broadcasted_iota(jnp.int32, (lb, hw), 1)
     colx = f % w
     if stochastic:
-        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0), seed_ref[0, 1])
         bits = pltpu.prng_random_bits((lb, hw))
         # bits may arrive as signed int32; take the top 24 bits unsigned.
         u = ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (1.0 / (1 << 24))
@@ -356,7 +367,7 @@ def advance_pallas(board, spawn_prob, seed, *, h, w, stochastic):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lb, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((lb, hw), lambda i: (i, 0),
@@ -365,5 +376,5 @@ def advance_pallas(board, spawn_prob, seed, *, h, w, stochastic):
     )(
         board.astype(jnp.int32),
         spawn_prob.reshape(bsz, 1).astype(jnp.float32),
-        jnp.asarray(seed, jnp.int32).reshape(1, 1),
+        _seed_words(seed),
     )

@@ -248,14 +248,14 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
     bench_file = task_data.get('benchmark_levels')
     if bench_file:
         from ..io.levels import LEVEL_DIRECTORY
-        packaged = os.path.join(
-            LEVEL_DIRECTORY, 'benchmarks', 'v1',
-            os.path.basename(bench_file))
+        # The canonical suite is the packaged copy of the reference's
+        # frozen v1.0 archives (byte-identical; asserted in tests), so
+        # benchmark scores are comparable to published SafeLife numbers.
+        packaged = os.path.join(LEVEL_DIRECTORY, bench_file)
         env_dir = os.environ.get("SAFELIFE_BENCHMARK_DIR")
         candidates = [
             env_dir and os.path.join(env_dir, bench_file),
             packaged,
-            os.path.join("/root/reference/safelife/levels", bench_file),
         ]
         for path in candidates:
             if path and os.path.exists(path):

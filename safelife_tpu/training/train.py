@@ -92,16 +92,22 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
             restored, extra, step = ckpt.restore(
                 {"params": pstate.params, "opt_state": pstate.opt_state,
                  "num_steps": pstate.num_steps, "env_state": ws})
-        except Exception:
+        except (ValueError, KeyError, TypeError) as exc:
+            # Tree-structure/shape mismatch: expected for checkpoints
+            # written before env-batch state was included. Anything else
+            # (corrupt checkpoint, orbax version, permissions) must not
+            # silently discard training progress — re-raise it.
+            logger.info("full env-state restore failed (%s); trying "
+                        "params-only checkpoint format", exc)
             try:  # older checkpoints without env state
                 restored, extra, step = ckpt.restore(
                     {"params": pstate.params,
                      "opt_state": pstate.opt_state,
                      "num_steps": pstate.num_steps})
-            except Exception:
+            except (ValueError, KeyError, TypeError) as exc2:
                 logger.warning(
-                    "checkpoint restore failed (shape mismatch?); "
-                    "starting fresh")
+                    "checkpoint restore failed with structure mismatch "
+                    "(%s); starting fresh", exc2)
         if restored is not None:
             ws = restored.pop("env_state", ws)
             obs = E._batch_obs(env_cfg, ws.env)
