@@ -35,9 +35,11 @@ def main(argv=None):
         "JSON dict of config overrides, e.g. "
         "'{\"ppo.gamma\": 0.99, \"side_effect.penalty\": 0.5}'"))
     p_train.add_argument("--run-type", default="train",
-                         choices=("train", "benchmark"),
+                         choices=("train", "benchmark", "inspect"),
                          help="'benchmark' evaluates the latest checkpoint "
-                              "in data_dir without training")
+                              "in data_dir without training; 'inspect' "
+                              "builds the environments and drops into an "
+                              "interactive shell")
     p_train.add_argument("--wandb", action="store_true",
                          help="log to Weights & Biases (two-way config "
                               "sync for sweeps)")
@@ -53,6 +55,9 @@ def main(argv=None):
     p_play.add_argument("paths", nargs="*", default=["random/append-still"])
     p_play.add_argument("--seed", type=int, default=None)
     p_play.add_argument("--centered", action="store_true")
+    p_play.add_argument("--record", default=None, metavar="DIR",
+                        help="save play history as rec-NNN.npz files "
+                             "under DIR")
 
     p_new = sub.add_parser("new", help="generate and save levels")
     p_new.add_argument("param_file")
@@ -97,10 +102,19 @@ def main(argv=None):
 def cmd_train(args):
     import jax
 
+    from .parallel import mesh as M
     from .training import train as T
     from .training.env_factory import build_environments
     from .training.global_config import config
     from .training.logging_setup import setup_logging
+
+    # Multi-host runs join the coordinator before any device use; a
+    # documented no-op without a configured coordinator.
+    proc, nprocs = M.initialize_distributed()
+    if nprocs > 1:
+        logging.getLogger(__name__).info(
+            "distributed: process %d/%d, %d global devices",
+            proc, nprocs, len(jax.devices()))
 
     setup_logging(args.data_dir)
     if args.extra_params:
@@ -135,6 +149,19 @@ def cmd_train(args):
 
     try:
         bundle = build_environments(config, data_dir=args.data_dir)
+        if args.run_type == "inspect":
+            # Parity: start-training.py:282-285 — envs/config built, then
+            # an interactive shell for poking at them.
+            ns = {"bundle": bundle, "config": config, "jax": jax, "T": T}
+            try:
+                from IPython import embed
+                embed(user_ns=ns)
+            except ImportError:
+                import code
+                code.interact(
+                    banner="safelife-tpu inspect shell: bundle, config, "
+                           "jax, T", local=ns)
+            return
         if args.run_type == "benchmark":
             model, params = T.load_for_eval(
                 args.algo, bundle, args.data_dir)
@@ -148,7 +175,8 @@ def cmd_train(args):
                 bundle, total_steps=args.steps, batch_size=args.batch,
                 seed=args.seed or 0, data_dir=args.data_dir)
             params = state.params
-        if not args.skip_benchmark and bundle.benchmark_levels:
+        if not args.skip_benchmark and (bundle.benchmark_levels
+                                        or bundle.validation_levels):
             T.run_benchmark(model, params, bundle, args.data_dir,
                             jax.random.PRNGKey(args.seed or 0),
                             num_episodes=args.benchmark_episodes)

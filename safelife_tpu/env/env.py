@@ -345,14 +345,17 @@ def _finish_one(cfg, s, board, goals, agent_locs, cells):
         "episode_reward": episode_reward,
         "episode_length": episode_length,
         "level_idx": s.level_idx,
-        # Per-lane score denominators, captured at episode time so logged
+        # Padded-agent mask, for the learner to weight flattened [B, A]
+        # samples (the lockstep analog of base_algo.py:152-244 collecting
+        # only live agents into the batch).
+        "agent_mask": lv.agent_mask,
+        # Per-agent score denominators, captured at episode time so logged
         # records stay correct even after the pool slot is recycled
-        # (parity: safelife_logger.py:286-294, single-agent squeeze).
-        "reward_possible": jnp.sum(
-            lv.available_points[:1] * lv.agent_mask[:1])
-        + POINTS_ON_LEVEL_EXIT,
-        "reward_needed": jnp.sum(
-            lv.required_points[:1] * lv.agent_mask[:1]),
+        # (parity: safelife_logger.py:286-294; the logger squeezes the
+        # single-agent case back to a scalar).
+        "reward_possible": (lv.available_points
+                            + POINTS_ON_LEVEL_EXIT) * lv.agent_mask,
+        "reward_needed": lv.required_points * lv.agent_mask,
     }
 
     return s, reward, done, info

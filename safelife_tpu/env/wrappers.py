@@ -42,6 +42,7 @@ class WrapperConfig:
     movement_bonus_period: int = 4
     movement_bonus_power: float = 1e-100
     movement_as_penalty: bool = True
+    single_agent: bool = True  # scalar (agent-0) vs per-agent move bonus
     exit_bonus: float = 0.5
     se_baseline: str = "starting-state"  # or "inaction"
     ignore_reward_cells: bool = False
@@ -55,6 +56,10 @@ class WrappedState:
     prior_count: jax.Array       # int32 [B] — entries filled (<= period)
     last_side_effect: jax.Array  # int32 [B]
     baseline_board: jax.Array    # int32 [B, H, W]
+    # The episode's own starting board, held fixed for episode-end
+    # side-effect sampling. Separate from baseline_board because the
+    # inaction baseline *evolves* each step.
+    episode_start_board: jax.Array  # int32 [B, H, W]
 
 
 def _fresh_wrapper_fields(period, env_state):
@@ -76,11 +81,18 @@ def reset_impl(cfg, wcfg, pool, key, batch_size, min_perf_fraction=1.0):
     return WrappedState(
         env=state, prior_positions=ring, prior_count=cnt,
         last_side_effect=lse, baseline_board=base,
+        episode_start_board=base,
     ), obs
 
 
 def _movement_bonus(wcfg, ws_prior, ws_count, locs, agent_mask):
-    """Per-lane movement bonus (no batch axis). Returns scalar bonus."""
+    """Per-lane movement bonus (no batch axis).
+
+    Single-agent mode returns a scalar (the reference's squeeze,
+    env_wrappers.py:85-86); multi-agent mode returns a per-agent [A]
+    vector, exactly as the reference's un-squeezed ``speed`` broadcasts
+    into the per-agent reward vector.
+    """
     period = wcfg.movement_bonus_period
     full = ws_count >= period
     # Oldest entry: with a full ring the slot about to be overwritten; before
@@ -90,13 +102,12 @@ def _movement_bonus(wcfg, ws_prior, ws_count, locs, agent_mask):
     dist = jnp.sum(jnp.abs(locs - p1), axis=-1).astype(jnp.float32)
     dist = dist + jnp.where(full, 0, period - ws_count).astype(jnp.float32)
     speed = dist / period
-    # single-agent squeeze: sum over the first agent only (parity:
-    # env_wrappers.py:85-86)
-    speed0 = jnp.sum(speed[:1] * agent_mask[:1])
+    if wcfg.single_agent:
+        speed = jnp.sum(speed[:1] * agent_mask[:1])
     # speed ** 1e-100 in float64 ≈ (speed > 0); compute float32-safely.
     p = wcfg.movement_bonus_power
     powd = jnp.where(
-        speed0 > 0, jnp.exp(p * jnp.log(jnp.maximum(speed0, 1e-30))), 0.0)
+        speed > 0, jnp.exp(p * jnp.log(jnp.maximum(speed, 1e-30))), 0.0)
     bonus = wcfg.movement_bonus * powd
     if wcfg.movement_as_penalty:
         bonus = bonus - wcfg.movement_bonus
@@ -155,7 +166,8 @@ def _fresh_wrapped(cfg, wcfg, pool, idx, min_perf_fraction):
         wcfg.movement_bonus_period, fresh_env)
     return WrappedState(env=fresh_env, prior_positions=f_ring,
                         prior_count=f_cnt, last_side_effect=f_lse,
-                        baseline_board=f_base)
+                        baseline_board=f_base,
+                        episode_start_board=f_base)
 
 
 def step_impl(cfg, wcfg, pool, state, actions, key,
@@ -167,9 +179,11 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
     core_cfg = dataclasses.replace(cfg, auto_reset=False)
     env2, reward, done, info = E.step_core(
         core_cfg, state.env, actions, phys_key)
+    # Episode-end SE sampling reads the episode's own start board, so
+    # inaction-baseline runs (exactly the penalized spawn-task runs that
+    # need safety telemetry) sample episodes too.
     info["ep_sample"] = E.sample_episode_record(
-        state.baseline_board, env2, info,
-        valid=(wcfg.se_baseline == "starting-state"))
+        state.episode_start_board, env2, info)
 
     if wcfg.enabled:
         if wcfg.se_baseline == "inaction":
@@ -194,7 +208,8 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
             state.last_side_effect, state.baseline_board)
 
     state = WrappedState(env=env2, prior_positions=ring, prior_count=count,
-                         last_side_effect=last_se, baseline_board=baseline)
+                         last_side_effect=last_se, baseline_board=baseline,
+                         episode_start_board=state.episode_start_board)
     if cfg.auto_reset:
         state = E.lazy_lane_reset(
             info["lane_done"], reset_key, pool.num_levels,

@@ -316,19 +316,30 @@ class EpisodeCollector:
             # at episode time when present (pool slots can be recycled
             # mid-episode, making slot metadata stale); the slot name is
             # cosmetic and kept as a best-effort label.
+            # Truncate padded agent slots (multi-agent pools pad the agent
+            # axis; padded slots would otherwise log zero rewards).
+            if "agent_mask" in info:
+                nag = max(int(np.asarray(info["agent_mask"])[lane].sum()), 1)
+            else:
+                nag = None
+
+            def lane_vals(arr):
+                v = np.asarray(arr)[lane]
+                if v.ndim:
+                    v = v[:nag]
+                return v.tolist()
+
             if "reward_possible" in info:
-                possible = float(np.asarray(info["reward_possible"])[lane])
-                needed = int(np.asarray(info["reward_needed"])[lane])
+                possible = lane_vals(info["reward_possible"])
+                needed = lane_vals(info["reward_needed"])
             else:
                 possible = meta.get("reward_possible", 0.0)
                 needed = meta.get("reward_needed", 0)
             ep = {
                 "level_name": meta.get("name", "level-%d" % idx),
-                "length": np.asarray(
-                    info["episode_length"])[lane].tolist(),
-                "reward": np.asarray(
-                    info["episode_reward"])[lane].tolist(),
-                "success": np.asarray(info["success"])[lane].tolist(),
+                "length": lane_vals(info["episode_length"]),
+                "reward": lane_vals(info["episode_reward"]),
+                "success": lane_vals(info["success"]),
                 "reward_possible": possible,
                 "reward_needed": needed,
             }

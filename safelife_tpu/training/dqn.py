@@ -108,15 +108,21 @@ def init_trajectories(batch, n, obs_shape, obs_dtype=jnp.uint8):
     )
 
 
-def step_trajectories(cfg, traj, buf, obs, action, reward, next_obs, done):
+def step_trajectories(cfg, traj, buf, obs, action, reward, next_obs, done,
+                      valid=None):
     """Advance the n-step rings one step and emit replay entries.
 
-    Per lane: the outgoing (oldest) entry is pushed with its accumulated
-    n-step reward; on episode end the whole ring is flushed (terminal state
-    bootstraps nothing) and cleared.
+    Per slot (a lane, or a flattened lane x agent pair): the outgoing
+    (oldest) entry is pushed with its accumulated n-step reward; on
+    episode end the whole ring is flushed (terminal state bootstraps
+    nothing) and cleared. Steps with ``valid`` False (padded or
+    already-finished agents) enter the ring unfilled and are never
+    emitted to replay.
     """
     n = cfg.multi_step
     gammas = cfg.gamma ** jnp.arange(1, n)
+    if valid is None:
+        valid = jnp.ones_like(done)
 
     # Oldest entry falls out when the ring is full.
     out_obs = traj.obs[:, -1]
@@ -131,7 +137,7 @@ def step_trajectories(cfg, traj, buf, obs, action, reward, next_obs, done):
     shifted_reward = jnp.concatenate(
         [reward[:, None], traj.reward[:, :-1]], axis=1)
     new_filled = jnp.concatenate(
-        [jnp.ones_like(done)[:, None], traj.filled[:, :-1]], axis=1)
+        [valid[:, None], traj.filled[:, :-1]], axis=1)
     # Discount the new reward into the older entries.
     disc = jnp.concatenate([jnp.zeros((1,)), gammas])
     new_reward = shifted_reward + reward[:, None] * disc[None, :]
@@ -222,27 +228,35 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
     one optimizer step if the buffer is warm. One jit-compiled unit."""
     from ..env import wrappers as W
 
+    def _flat(x):
+        return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
     def body(carry, k):
         dstate, ws, obs = carry
         ka, ke = jax.random.split(k)
         eps = epsilon_schedule(cfg, dstate.num_steps)
-        flat_obs = obs[:, 0]
+        b, a = obs.shape[:2]
+        flat_obs = _flat(obs)
+        # Only live (non-padded, not-yet-finished) agents contribute
+        # replay entries; see rollout() in ppo.py for the rationale.
+        valid = _flat(ws.env.is_active & ws.env.level.agent_mask)
         actions = act_epsilon_greedy(
             apply_fn, dstate.params, flat_obs, eps, ka)
         ws2, obs2, reward, done, info = W.step_impl(
-            env_cfg, wcfg, pool, ws, actions[:, None], ke)
+            env_cfg, wcfg, pool, ws, actions.reshape(b, a), ke)
         traj, replay = step_trajectories(
             cfg, dstate.traj, dstate.replay, flat_obs, actions,
-            reward[:, 0], obs2[:, 0], done[:, 0])
+            _flat(reward), _flat(obs2), _flat(done), valid)
         dstate = dstate.replace(
             traj=traj, replay=replay,
-            num_steps=dstate.num_steps + done.shape[0])
+            num_steps=dstate.num_steps + b)
         ep = {
             "lane_done": info["lane_done"],
             "episode_reward": info["episode_reward"],
             "episode_length": info["episode_length"],
             "success": info["success"],
             "level_idx": info["level_idx"],
+            "agent_mask": info["agent_mask"],
             "reward_possible": info["reward_possible"],
             "reward_needed": info["reward_needed"],
         }

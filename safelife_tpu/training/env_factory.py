@@ -83,23 +83,48 @@ class CurricularLevelIterator(SafeLifeLevelIterator):
         self.max_stage = len(levels) - 1
         self.perf_records = defaultdict(lambda: [0.0])
         self.best = defaultdict(lambda: 0.0)
+        self._best_improved = None
+        self._last_data_seen = None
         for k, v in curriculum_params.items():
             setattr(self, k, v)
 
+    @staticmethod
+    def _stage_key(name):
+        """Normalize a level identity to its spec stem: episode records
+        carry names like ``asym1-e5`` (basename + seed suffix), while
+        ``file_data`` entries carry the full yaml path — both reduce to
+        ``asym1``."""
+        import re
+
+        stem = os.path.basename(str(name))
+        for ext in (".yaml", ".json", ".npz"):
+            stem = stem.replace(ext, "")
+        return re.sub(r"-e\d+$", "", stem)
+
     def update_result_records(self):
         results = getattr(self.logger, "last_data", None)
-        if results is None:
+        if results is None or results is self._last_data_seen:
             return
+        self._last_data_seen = results
         reward = np.array(results.get("reward", 0.0))
         possible = np.array(results.get("reward_possible", 1.0))
         filename = results.get("level_name")
         if reward.size > 0 and filename:
+            key = self._stage_key(filename)
             perf = float(np.average(reward / np.maximum(possible, 1e-9)))
             if not np.isfinite(perf):
                 perf = 0.0
-            self.perf_records[filename].append(perf)
-            if perf > self.best[filename]:
-                self.best[filename] = perf
+            self.perf_records[key].append(perf)
+            if perf > self.best[key]:
+                self.best[key] = perf
+                self._best_improved = (key, perf)
+
+    def pop_best_improvement(self):
+        """(stage_key, perf) when an episode just set a new best — the
+        training loop uses this to record a best-episode video (parity:
+        env_factory.py:148-152)."""
+        out, self._best_improved = self._best_improved, None
+        return out
 
     def get_next_parameters(self):
         from scipy.special import softmax
@@ -107,8 +132,7 @@ class CurricularLevelIterator(SafeLifeLevelIterator):
         self.update_result_records()
         progress = 0.2 * np.ones(self.max_stage + 1) / self.lookback
         for i, entry in enumerate(self.file_data):
-            level = entry[0]
-            recs = self.perf_records[level]
+            recs = self.perf_records[self._stage_key(entry[0])]
             if len(recs) >= self.lookback:
                 m, _ = np.polyfit(np.arange(self.lookback),
                                   recs[-self.lookback:], 1)
@@ -121,6 +145,19 @@ class CurricularLevelIterator(SafeLifeLevelIterator):
         else:
             probabilities = np.ones(self.max_stage + 1) / \
                 (self.max_stage + 1)
+        if self.logger is not None:
+            # Per-stage curriculum telemetry (parity: env_factory.py
+            # :135-144).
+            record = {}
+            for i, entry in enumerate(self.file_data):
+                key = self._stage_key(entry[0])
+                recent = self.perf_records[key][-self.lookback:]
+                record["normalised_progress_lvl%d" % i] = progress[i]
+                record["probability_lvl%d" % i] = probabilities[i]
+                record["best_perf_lvl%d" % i] = self.best[key]
+                record["recent%d_perf_lvl%d" % (self.lookback, i)] = \
+                    float(np.average(recent)) if recent else 0.0
+            self.logger.log_scalars(record, tag="curriculum")
         from ..utils.rng import get_rng
         choice = get_rng().choice(self.max_stage + 1, p=probabilities)
         return self.file_data[choice]
@@ -164,7 +201,59 @@ task_types = {
         'validation_levels': ['random/navigation'],
         'benchmark_levels': 'benchmarks/v1.0/navigation.npz',
     },
+
+    # Multi-agent tasks (parity: env_factory.py:219-258). No frozen
+    # benchmark archives exist for these; validation levels double as the
+    # evaluation suite, as in the reference.
+    'asym1': {
+        'iter_class': CurricularLevelIterator,
+        'train_levels': ['random/multi-agent/asym1'],
+        'validation_levels': ['random/multi-agent/asym1'],
+        'multiagent': True,
+    },
+    'curriculum-asym1': {
+        'iter_class': CurricularLevelIterator,
+        'train_levels': [
+            'random/multi-agent/asym1',
+            'random/multi-agent/asym1-pretrain-cyanonly',
+            'random/multi-agent/asym1-pretrain-redonly'],
+        'validation_levels': ['random/multi-agent/asym1'],
+        'multiagent': True,
+    },
+    'multi-build-coop': {
+        'iter_class': SafeLifeLevelIterator,
+        'train_levels': ['random/multi-agent/build-coop'],
+        'validation_levels': ['random/multi-agent/build-coop'],
+        'multiagent': True,
+    },
+    'multi-build-compete': {
+        'iter_class': SafeLifeLevelIterator,
+        'train_levels': ['random/multi-agent/build-compete'],
+        'validation_levels': ['random/multi-agent/build-compete'],
+        'multiagent': True,
+    },
+    'multi-build-parallel': {
+        'iter_class': SafeLifeLevelIterator,
+        'train_levels': ['random/multi-agent/build-parallel'],
+        'validation_levels': ['random/multi-agent/build-parallel'],
+        'multiagent': True,
+    },
+    'multi-prune': {
+        'iter_class': SafeLifeLevelIterator,
+        # The reference names 'random/multi-agent/prune-still' here but
+        # never shipped that file; ours is generated by
+        # scripts/regen_multiagent_specs.py so the task actually runs.
+        'train_levels': ['random/prune-still',
+                         'random/multi-agent/prune-still'],
+        'validation_levels': ['random/multi-agent/prune-still'],
+        'multiagent': True,
+    },
 }
+
+#: Agent-slot padding for multi-agent pools: every multi-agent spec
+#: rosters at most two agents; mixed 1/2-agent level streams (e.g.
+#: curriculum-asym1) pad to this.
+MULTIAGENT_PAD = 2
 
 
 @dataclasses.dataclass
@@ -193,6 +282,10 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
 
     seed = np.random.SeedSequence(config.setdefault('seed', None))
     training_seed, benchmark_seed = seed.spawn(2)
+    # Each host draws its own reproducible level stream; validation and
+    # benchmark seeds stay host-independent (pinned suites).
+    from ..parallel import mesh as M
+    training_seed = M.per_host_seed(training_seed)
 
     view_size = config.setdefault('env.view_size', 25)
     env_cfg = E.EnvConfig(
@@ -201,11 +294,13 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
         time_limit=1000,
         goals_may_evolve=True,
     )
+    multiagent = bool(task_data.get('multiagent'))
     wrapper_cfg = W.WrapperConfig(
         se_baseline=config.setdefault('side_effect.baseline',
                                       'starting-state'),
         ignore_reward_cells=config.setdefault(
             'side_effect.ignore_reward_cells', False),
+        single_agent=not multiagent,
     )
 
     training_logger = SafeLifeLogger(
@@ -226,7 +321,9 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
         iter_args.pop('num_workers')  # switching picks levels synchronously
 
     training_iter = iter_class(*task_data['train_levels'], **iter_args)
-    pool_manager = LevelPoolManager(training_iter, pool_size=pool_size)
+    pool_manager = LevelPoolManager(
+        training_iter, pool_size=pool_size,
+        pad_agents=MULTIAGENT_PAD if multiagent else None)
 
     se_penalty = config.setdefault('side_effect.penalty', 0.0)
     se_schedule = dict(config.setdefault(

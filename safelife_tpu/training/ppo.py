@@ -66,32 +66,52 @@ def init_ppo_state(cfg, params):
 # Rollout
 
 
+def _flatten_agents(x):
+    """[B, A, ...] -> [B*A, ...] (the learner batch axis)."""
+    return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+
 def rollout(env_cfg, wcfg, pool, apply_fn, params, ws, obs, key, n_steps,
             se_penalty_coef=0.0, min_perf_fraction=1.0):
     """Collect ``n_steps`` of experience from every lane under one scan.
 
-    obs: uint8[B, A, vh, vw, C]; single-agent training squeezes A=1.
-    Returns (traj dict of [T, B, ...] arrays, final (ws, obs), final values).
+    obs: uint8[B, A, vh, vw, C]. Agents flatten into the learner batch
+    ([B, A] -> [B*A]) with per-sample weights masking padded and
+    already-finished agents — the lockstep analog of the reference's
+    ``obs_for_envs``/``act_on_envs`` flattening (base_algo.py:152-244),
+    which collects only live agents. With A=1 the weights are identically
+    one and this reduces to the single-agent squeeze.
+
+    Returns (traj dict of [T, B*A, ...] arrays, final (ws, obs),
+    final values).
     """
 
     def body(carry, k):
         ws, obs = carry
         ka, ke = jax.random.split(k)
-        flat_obs = obs[:, 0]  # single-agent squeeze
+        b, a = obs.shape[:2]
+        flat_obs = _flatten_agents(obs)
+        # A sample only trains the policy if its agent was live when the
+        # action was taken (pre-step): padded agents never, exited/dead
+        # agents not after their terminal step.
+        weight = _flatten_agents(
+            ws.env.is_active & ws.env.level.agent_mask
+        ).astype(jnp.float32)
         values, policy = apply_fn(params, flat_obs)
         actions = jax.random.categorical(ka, jnp.log(policy + 1e-30))
         a_prob = jnp.take_along_axis(
             policy, actions[:, None], axis=-1)[:, 0]
         ws2, obs2, reward, done, info = W.step_impl(
-            env_cfg, wcfg, pool, ws, actions[:, None], ke,
+            env_cfg, wcfg, pool, ws, actions.reshape(b, a), ke,
             se_penalty_coef, min_perf_fraction)
         out = {
             "obs": flat_obs,
             "actions": actions,
             "action_prob": a_prob,
-            "rewards": reward[:, 0],
+            "rewards": _flatten_agents(reward),
             "values": values,
-            "done": done[:, 0],
+            "done": _flatten_agents(done),
+            "weight": weight,
             # Episode-completion records for the host-side logger (the
             # lockstep analog of SafeLifeLogWrapper's on-done callback).
             "ep": {
@@ -100,6 +120,7 @@ def rollout(env_cfg, wcfg, pool, apply_fn, params, ws, obs, key, n_steps,
                 "episode_length": info["episode_length"],
                 "success": info["success"],
                 "level_idx": info["level_idx"],
+                "agent_mask": info["agent_mask"],
                 "reward_possible": info["reward_possible"],
                 "reward_needed": info["reward_needed"],
                 "sample": info["ep_sample"],
@@ -109,7 +130,7 @@ def rollout(env_cfg, wcfg, pool, apply_fn, params, ws, obs, key, n_steps,
 
     keys = jax.random.split(key, n_steps)
     (ws, obs), traj = jax.lax.scan(body, (ws, obs), keys)
-    final_values, _ = apply_fn(params, obs[:, 0])
+    final_values, _ = apply_fn(params, _flatten_agents(obs))
     return traj, (ws, obs), final_values
 
 
@@ -153,31 +174,44 @@ def compute_gae(cfg, traj, final_values):
 
 
 def calculate_loss(cfg, apply_fn, params, obs, actions, old_policy,
-                   old_values, returns, advantages):
-    """Parity: reference ``calculate_loss`` (ppo.py:145-166)."""
+                   old_values, returns, advantages, weight=None):
+    """Parity: reference ``calculate_loss`` (ppo.py:145-166).
+
+    ``weight`` masks flattened-agent samples out of every mean (padded or
+    already-finished agents — the reference never collects those samples
+    at all). ``None`` means all-ones (single-agent training).
+    """
     values, policy = apply_fn(params, obs)
     a_policy = jnp.take_along_axis(policy, actions[..., None], axis=-1)[..., 0]
+
+    if weight is None:
+        weight = jnp.ones_like(advantages)
+    wsum = jnp.maximum(weight.sum(), 1.0)
+
+    def wmean(x):
+        return jnp.sum(x * weight) / wsum
 
     prob_diff = jnp.sign(advantages) * (1 - a_policy / old_policy)
     policy_loss = jnp.abs(advantages) * jnp.maximum(
         prob_diff, -cfg.eps_policy)
-    policy_loss = policy_loss.mean()
+    policy_loss = wmean(policy_loss)
 
     v_clip = old_values + jnp.clip(
         values - old_values, -cfg.eps_value, cfg.eps_value)
-    value_loss = jnp.maximum(
-        (v_clip - returns) ** 2, (values - returns) ** 2).mean()
+    value_loss = wmean(jnp.maximum(
+        (v_clip - returns) ** 2, (values - returns) ** 2))
 
     entropy = jnp.sum(-policy * jnp.log(policy + 1e-12), axis=-1)
+    entropy_mean = wmean(entropy)
     entropy_loss = -cfg.entropy_reg * jnp.minimum(
-        entropy.mean(), cfg.entropy_clip)
+        entropy_mean, cfg.entropy_clip)
 
     loss = policy_loss + value_loss * cfg.vf_coef + entropy_loss
     return loss, {
         "loss": loss,
         "policy_loss": policy_loss,
         "value_loss": value_loss,
-        "entropy": entropy.mean(),
+        "entropy": entropy_mean,
     }
 
 
@@ -197,7 +231,8 @@ def train_on_batch(cfg, apply_fn, ppo_state, batch, key):
     grad_fn = jax.grad(
         lambda p, mb: calculate_loss(
             cfg, apply_fn, p, mb["obs"], mb["actions"], mb["action_prob"],
-            mb["values"], mb["returns"], mb["advantages"])[0],
+            mb["values"], mb["returns"], mb["advantages"],
+            mb["weight"])[0],
     )
 
     params, opt_state = ppo_state.params, ppo_state.opt_state
@@ -221,30 +256,37 @@ def train_iteration_impl(env_cfg, wcfg, ppo_cfg, apply_fn, pool,
     Jittable end-to-end; this is the unit sharded across the device mesh.
     """
     krol, ktrain = jax.random.split(key)
+    n_lanes = obs.shape[0]
     traj, (ws, obs), final_values = rollout(
         env_cfg, wcfg, pool, apply_fn, ppo_state.params, ws, obs, krol,
         ppo_cfg.steps_per_env, se_penalty_coef, min_perf_fraction)
     returns, advantages = compute_gae(ppo_cfg, traj, final_values)
 
-    t, b = traj["rewards"].shape
+    t, n = traj["rewards"].shape  # n = lanes * agents
     batch = {
-        "obs": traj["obs"].reshape((t * b,) + traj["obs"].shape[2:]),
+        "obs": traj["obs"].reshape((t * n,) + traj["obs"].shape[2:]),
         "actions": traj["actions"].reshape(-1),
         "action_prob": traj["action_prob"].reshape(-1),
         "values": traj["values"].reshape(-1),
         "returns": returns.reshape(-1),
         "advantages": advantages.reshape(-1),
+        "weight": traj["weight"].reshape(-1),
     }
     ppo_state = train_on_batch(ppo_cfg, apply_fn, ppo_state, batch, ktrain)
-    ppo_state = ppo_state.replace(num_steps=ppo_state.num_steps + t * b)
+    # Step counting is per env-step, not per agent-slot (parity:
+    # ppo.py:134 ``steps_per_env * len(training_envs)``).
+    ppo_state = ppo_state.replace(
+        num_steps=ppo_state.num_steps + t * n_lanes)
 
     _, metrics = calculate_loss(
         ppo_cfg, apply_fn, ppo_state.params, batch["obs"], batch["actions"],
         batch["action_prob"], batch["values"], batch["returns"],
-        batch["advantages"])
-    metrics["reward_mean"] = traj["rewards"].mean()
-    metrics["values_mean"] = batch["values"].mean()
-    metrics["advantages_mean"] = batch["advantages"].mean()
+        batch["advantages"], batch["weight"])
+    w = batch["weight"]
+    wsum = jnp.maximum(w.sum(), 1.0)
+    metrics["reward_mean"] = jnp.sum(traj["rewards"].reshape(-1) * w) / wsum
+    metrics["values_mean"] = jnp.sum(batch["values"] * w) / wsum
+    metrics["advantages_mean"] = jnp.sum(batch["advantages"] * w) / wsum
     # Flatten the [T, B] episode-completion records into one [T*B] batch
     # the host-side EpisodeCollector can consume directly. The per-step
     # side-effect samples keep their [T, ...] leading axis.

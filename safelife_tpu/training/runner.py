@@ -29,19 +29,26 @@ EPSILON_TESTING = 0.01
 
 def _policy_sample(apply_fn, params, obs, key):
     """Sample actions from either network family: actor-critic models
-    return (values, policy); Q networks return a single [B, n] array,
-    evaluated ε-greedily with the reference's testing epsilon."""
-    out = apply_fn(params, obs[:, 0])
+    return (values, policy); Q networks return a single [N, n] array,
+    evaluated ε-greedily with the reference's testing epsilon.
+
+    obs is [B, A, ...]; agents flatten into the network batch and the
+    returned actions are [B, A] (one shared policy drives every agent,
+    as in the reference's flattened multi-agent batch).
+    """
+    b, a = obs.shape[:2]
+    out = apply_fn(params, obs.reshape((b * a,) + obs.shape[2:]))
     if isinstance(out, tuple):
         values, policy = out
-        return jax.random.categorical(key, jnp.log(policy + 1e-30))
+        acts = jax.random.categorical(key, jnp.log(policy + 1e-30))
+        return acts.reshape(b, a)
     qvals = out
     k1, k2 = jax.random.split(key)
     greedy = jnp.argmax(qvals, axis=-1).astype(jnp.int32)
     rand = jax.random.randint(
         k1, greedy.shape, 0, qvals.shape[-1], jnp.int32)
     explore = jax.random.uniform(k2, greedy.shape) < EPSILON_TESTING
-    return jnp.where(explore, rand, greedy)
+    return jnp.where(explore, rand, greedy).reshape(b, a)
 
 
 def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
@@ -61,7 +68,7 @@ def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
         ka, ke = jax.random.split(k)
         actions = _policy_sample(apply_fn, params, obs, ka)
         state, reward, done, info = E.step_core(
-            cfg, state, actions[:, None], ke)
+            cfg, state, actions, ke)
         obs = E._batch_obs(cfg, state)
         lane_done = info["lane_done"]
         just_done = lane_done & ~done_before
@@ -160,10 +167,15 @@ def episode_side_effects(init_board, final_board, num_steps, spawn_prob,
 
 
 def level_metadata(levels):
-    """Per-level reward_possible / reward_needed, computed on host."""
+    """Per-level reward_possible / reward_needed, computed on host.
+
+    Multi-agent levels report team totals (summed over the real agent
+    roster); single-agent levels reduce to the reference's squeeze.
+    """
     meta = {}
     for i, lv in enumerate(levels):
         pool1 = pack_levels([lv])
+        n = max(lv.num_agents, 1)
         avail = scoring.initial_available_points(
             pool1.initial_counts[0], pool1.initial_colors[0],
             pool1.points_table[0])
@@ -172,8 +184,8 @@ def level_metadata(levels):
         possible = np.asarray(avail) + scoring.POINTS_ON_LEVEL_EXIT
         meta[i] = {
             "name": lv.name or ("level-%d" % i),
-            "reward_possible": float(np.sum(possible[:1])),
-            "reward_needed": int(np.sum(np.asarray(req)[:1])),
+            "reward_possible": float(np.sum(possible[:n])),
+            "reward_needed": int(np.sum(np.asarray(req)[:n])),
             "min_performance": float(lv.min_performance),
         }
     return meta
@@ -197,7 +209,7 @@ def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
         ka, ke = jax.random.split(k)
         actions = _policy_sample(apply_fn, params, obs, ka)
         state, reward, done, info = E.step_core(
-            cfg, state, actions[:, None], ke)
+            cfg, state, actions, ke)
         obs = E._batch_obs(cfg, state)
         return (state, obs), (state.board[0], state.goals[0],
                               info["lane_done"][0],
@@ -224,12 +236,13 @@ def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
         "board": np.concatenate([first_b, boards[:end]]).astype(np.uint16),
         "goals": np.concatenate([first_g, goals[:end]]).astype(np.uint16),
     }
+    nag = max(int(np.asarray(state.level.agent_mask[0]).sum()), 1)
     stats = {
-        "reward": float(ep_rew[last][0]),
-        "length": int(ep_len[last][0]),
-        "success": bool(success[last][0]),
-        "reward_possible": float(possible[last]),
-        "reward_needed": int(needed[last]),
+        "reward": float(ep_rew[last][:nag].sum()),
+        "length": int(ep_len[last][:nag].max()),
+        "success": bool(success[last][:nag].all()),
+        "reward_possible": float(np.sum(possible[last][:nag])),
+        "reward_needed": int(np.sum(needed[last][:nag])),
     }
     return history, stats
 
@@ -280,16 +293,27 @@ def benchmark(apply_fn, params, levels, num_episodes, env_cfg=None, key=None,
                     inaction[lane], action[lane], num_samples,
                     side_effect_weights=side_effect_weights)
 
+        agent_mask = np.asarray(pool.agent_mask)
         for lane in range(n):
             m = meta[int(idx[lane])]
+            nag = max(int(agent_mask[idx[lane]].sum()), 1)
+            ep_r = out["episode_reward"][lane][:nag]
+            ep_l = out["episode_length"][lane][:nag]
+            suc = out["success"][lane][:nag]
+            # Multi-agent episodes are summarized as team totals (the
+            # episode lasts until every agent finishes); the per-agent
+            # breakdown rides along for analysis.
             rec = {
                 "level_name": m["name"],
-                "reward": float(out["episode_reward"][lane][0]),
-                "length": int(out["episode_length"][lane][0]),
-                "success": bool(out["success"][lane][0]),
+                "reward": float(ep_r.sum()),
+                "length": int(ep_l.max()),
+                "success": bool(suc.all()),
                 "reward_possible": m["reward_possible"],
                 "reward_needed": m["reward_needed"],
             }
+            if nag > 1:
+                rec["reward_agents"] = ep_r.tolist()
+                rec["success_agents"] = suc.tolist()
             if se_all[lane] is not None:
                 rec["side_effects"] = se_all[lane]
             records.append(rec)

@@ -15,6 +15,7 @@ import numpy as np
 
 from ..env import env as E, wrappers as W
 from ..loggers import EpisodeCollector, SafeLifeLogger, summarize_run
+from ..parallel import mesh as M
 from ..models.nets import SafeLifePolicyNetwork, SafeLifeQNetwork
 from . import dqn as dqn_mod, ppo as ppo_mod, runner
 from .checkpoints import CheckpointManager
@@ -41,10 +42,14 @@ def load_for_eval(algo, bundle, data_dir):
 
 
 def _sampled_side_effects(ep_samples, bundle, key):
-    """Score one sampled finished episode's side effects (weighted total
-    as a fraction of the inaction total), or None if no episode finished
-    this chunk. The lockstep-scale stand-in for the reference's
-    per-episode side-effect computation (safelife_env.py:183-193)."""
+    """Score one sampled finished episode's side effects.
+
+    Returns a dict of scalars for the training logger: the weighted total
+    fraction plus one ``side_effects.<category>`` entry per cell type
+    (emd relative to the inaction total — the same per-category
+    quantities the reference logs per episode,
+    safelife_logger.py:286-312). None if no episode finished this chunk.
+    """
     found = np.asarray(ep_samples["found"])
     hits = np.nonzero(found)[0]
     if not len(hits):
@@ -58,7 +63,35 @@ def _sampled_side_effects(ep_samples, bundle, key):
         float(np.asarray(ep_samples["spawn_prob"][i])),
         strkeys=True, key=key)
     total = weighted_side_effect_total(se, bundle.side_effect_weights)
-    return float(total[0]) / max(float(total[1]), 1.0)
+    out = {"side_effects_sampled":
+           float(total[0]) / max(float(total[1]), 1.0)}
+    for name, (emd, inaction_total) in se.items():
+        out["side_effects." + name] = \
+            float(emd) / max(float(inaction_total), 1.0)
+    return out
+
+
+def _maybe_record_best_episode(bundle, model, params, env_cfg, pool, key):
+    """When the curriculum records a new per-stage best, capture one
+    episode of that stage with the current policy as a trajectory video
+    (parity: CurricularLevelIterator.record_video,
+    env_factory.py:148-152)."""
+    it = bundle.pool_manager.iterator
+    pop = getattr(it, "pop_best_improvement", None)
+    if pop is None:
+        return
+    best = pop()
+    if best is None or bundle.training_logger.logdir is None:
+        return
+    stage, perf = best
+    idx = next(
+        (i for i, lv in enumerate(bundle.pool_manager._host_levels)
+         if it._stage_key(lv.name or "") == stage), 0)
+    history, vstats = runner.record_episode_history(
+        env_cfg, pool, model.apply, params, idx, key, env_cfg.time_limit)
+    bundle.training_logger.log_episode(
+        {"level_name": "best-%s-%.3f" % (stage, perf), **vstats},
+        history=history)
 
 
 def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
@@ -133,8 +166,13 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
             iters_per_chunk,
             se_penalty_coef=bundle.se_penalty_schedule(),
             min_perf_fraction=bundle.exit_difficulty_schedule())
-        collector.observe(jax.device_get(metrics.pop("episodes")),
-                          batch_steps=steps_per_iter * iters_per_chunk)
+        # Episode records gather to every host; only host 0 logs them
+        # (fleet-wide step counting stays consistent on all hosts).
+        episodes = M.gather_episodes(jax.device_get(metrics.pop("episodes")))
+        if M.is_logging_host():
+            collector.observe(
+                episodes, batch_steps=steps_per_iter * iters_per_chunk
+                * jax.process_count())
         ep_samples = metrics.pop("ep_samples")
         n = int(pstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
@@ -156,8 +194,10 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
                 n, m["loss"], m["entropy"], m["reward_mean"], rate)
             se = _sampled_side_effects(ep_samples, bundle, key)
             if se is not None:
-                m["side_effects_sampled"] = se
+                m.update(se)
             bundle.training_logger.log_scalars(m, n, "ppo")
+            _maybe_record_best_episode(
+                bundle, model, pstate.params, env_cfg, pool, key)
 
         if bundle.validation_levels and n >= next_test:
             next_test = (n // test_interval + 1) * test_interval
@@ -184,8 +224,10 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
     obs_shape = env_cfg.view_shape + (n_ch,)
     key, kinit, kreset = jax.random.split(key, 3)
     params = model.init(kinit, np.zeros((1,) + obs_shape, np.float32))
-    dstate = dqn_mod.init_dqn_state(cfg, params, batch_size, obs_shape)
     pool = bundle.pool_manager.pool
+    # One n-step assembly ring per flattened lane x agent slot.
+    dstate = dqn_mod.init_dqn_state(
+        cfg, params, batch_size * pool.num_agents, obs_shape)
     ws, obs = W.reset(env_cfg, wcfg, pool, kreset, batch_size)
 
     ckpt = data_dir and CheckpointManager(
@@ -202,8 +244,11 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
         dstate, ws, obs, metrics = dqn_mod.train_chunk(
             env_cfg, wcfg, cfg, model.apply, bundle.pool_manager.pool,
             dstate, ws, obs, k, chunk, iters_per_chunk)
-        collector.observe(jax.device_get(metrics.pop("episodes")),
-                          batch_steps=chunk * batch_size * iters_per_chunk)
+        episodes = M.gather_episodes(jax.device_get(metrics.pop("episodes")))
+        if M.is_logging_host():
+            collector.observe(
+                episodes, batch_steps=chunk * batch_size * iters_per_chunk
+                * jax.process_count())
         n = int(dstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
         bundle.pool_manager.refresh(2)
@@ -234,10 +279,15 @@ def run_validation(model, params, bundle, data_dir, key):
 
 
 def run_benchmark(model, params, bundle, data_dir, key, num_episodes=1000):
-    """Final benchmark sweep (parity: start-training.py:276-285)."""
+    """Final benchmark sweep (parity: start-training.py:276-285).
+
+    Multi-agent tasks ship no frozen benchmark archives (as in the
+    reference); their validation levels double as the evaluation suite.
+    """
+    levels = bundle.benchmark_levels or bundle.validation_levels
     blogger = SafeLifeLogger(data_dir, episode_type="benchmark")
     records, summary = runner.benchmark(
-        model.apply, params, bundle.benchmark_levels,
+        model.apply, params, levels,
         num_episodes=num_episodes, env_cfg=bundle.env_cfg, key=key,
         side_effect_weights=bundle.side_effect_weights,
         data_logger=blogger)

@@ -84,3 +84,69 @@ class TestQNetworkEvaluation:
             key=jax.random.PRNGKey(1), num_samples=20)
         assert len(records) == 2
         assert np.isfinite(summary["score"])
+
+
+class TestMultiAgentTraining:
+    """Multi-agent tasks train end-to-end: the [B, A] agent axis flattens
+    into the learner batch with padded/finished agents masked out
+    (VERDICT round-1 item 1; lockstep analog of base_algo.py:152-244)."""
+
+    def test_multi_build_coop_ppo(self, tmp_path):
+        bundle = _bundle(tmp_path, task="multi-build-coop")
+        config["ppo.steps_per_env"] = 5  # small graph: compile cost
+        assert bundle.pool_manager.pool.num_agents == 2
+        assert not bundle.wrapper_cfg.single_agent
+        model, state = T.train_ppo(
+            bundle, total_steps=200, batch_size=8, seed=0,
+            data_dir=str(tmp_path), iters_per_chunk=2)
+        assert int(state.num_steps) >= 200
+        leaves = jax.tree.leaves(state.params)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+    def test_asym1_curricular_ppo(self):
+        bundle = _bundle(task="asym1")
+        config["ppo.steps_per_env"] = 5
+        assert bundle.pool_manager.pool.num_agents == 2
+        model, state = T.train_ppo(
+            bundle, total_steps=200, batch_size=8, seed=1,
+            iters_per_chunk=2)
+        assert int(state.num_steps) >= 200
+        leaves = jax.tree.leaves(state.params)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+    def test_multi_agent_dqn_collects(self):
+        bundle = _bundle(task="multi-build-parallel")
+        config["dqn.optimize_interval"] = 8  # 1-step collect scans
+        model, state = T.train_dqn(
+            bundle, total_steps=64, batch_size=8, seed=2)
+        assert int(state.num_steps) >= 64
+        # Replay slots: one n-step ring per lane x agent pair.
+        assert state.traj.obs.shape[0] == 8 * 2
+
+    def test_rollout_weights_mask_padded_agents(self):
+        """A mixed 1-/2-agent pool: padded slots contribute zero weight."""
+        import jax.numpy as jnp
+        from safelife_tpu.env import env as E, wrappers as W
+        from safelife_tpu.env.state import pack_levels
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+        from safelife_tpu.models.nets import SafeLifePolicyNetwork
+        from safelife_tpu.training import ppo as ppo_mod
+
+        it1 = SafeLifeLevelIterator("random/append-still", seed=5,
+                                    num_workers=0)
+        lv1 = next(it1)  # one agent
+        pool = pack_levels([lv1], pad_agents=2)
+        cfg = E.EnvConfig(view_shape=(25, 25),
+                          output_channels=tuple(range(15)),
+                          time_limit=20)
+        wcfg = W.WrapperConfig(single_agent=False)
+        ws, obs = W.reset(cfg, wcfg, pool, jax.random.PRNGKey(0), 4)
+        model = SafeLifePolicyNetwork()
+        params = model.init(jax.random.PRNGKey(1),
+                            np.zeros((1, 25, 25, 15), np.float32))
+        traj, _, _ = ppo_mod.rollout(
+            cfg, wcfg, pool, model.apply, params, ws, obs,
+            jax.random.PRNGKey(2), 3)
+        w = np.asarray(traj["weight"]).reshape(3, 4, 2)
+        assert (w[:, :, 0] == 1.0).all()   # real agent slots live
+        assert (w[:, :, 1] == 0.0).all()   # padded slots masked

@@ -150,3 +150,57 @@ class TestMinPerformanceScheduler:
         full = int(np.asarray(ws_full.env.level.required_points)[0, 0])
         small = int(np.asarray(ws_small.env.level.required_points)[0, 0])
         assert full > small >= 0
+
+
+class TestInactionBaselineEpisodeSampling:
+    """Inaction-baseline training runs must still produce valid
+    episode-end SE samples: the sample reads the episode's own start
+    board, carried separately from the evolving baseline (VERDICT
+    round-1 weak item 4)."""
+
+    def test_inaction_run_samples_episodes(self):
+        wcfg = W.WrapperConfig(se_baseline="inaction")
+        cfg, pool, ws, obs = _setup(wcfg, time_limit=3)
+        start_board = np.asarray(ws.env.board[0]).copy()
+        found = False
+        for t in range(3):
+            ws, obs, r, d, info = _step(cfg, wcfg, pool, ws, 1, key=t)
+            samp = info["ep_sample"]
+            if bool(np.asarray(samp["found"])):
+                found = True
+                np.testing.assert_array_equal(
+                    np.asarray(samp["init_board"]), start_board)
+        assert found, "episode finished (time limit 3) but no sample"
+
+    def test_inaction_baseline_still_evolves(self):
+        """The penalty baseline itself must keep advancing (that is what
+        distinguishes inaction from starting-state)."""
+        from safelife_tpu.io.levels import Level
+        from safelife_tpu.core.scoring import DEFAULT_POINTS_TABLE
+
+        board = np.zeros((12, 12), np.int64)
+        goals = np.zeros((12, 12), np.int64)
+        # A blinker oscillates, so the inaction baseline changes each
+        # step while the starting-state baseline would not.
+        board[4, 3:6] = C.ALIVE | C.DESTRUCTIBLE
+        board[8, 8] = C.PLAYER
+        board[1, 1] = C.LEVEL_EXIT
+        lv = Level(board=board.astype(np.int32),
+                   goals=goals.astype(np.int32),
+                   agent_locs=np.array([[8, 8]]),
+                   agent_names=np.array(["a"]),
+                   points_table=np.tile(DEFAULT_POINTS_TABLE, (1, 1, 1)),
+                   min_performance=-1.0, spawn_prob=0.0, name="blinker")
+        cfg = E.EnvConfig(view_shape=(9, 9), time_limit=50,
+                          goals_may_evolve=False, auto_reset=False,
+                          stochastic=False)
+        pool = pack_levels([lv])
+        wcfg = W.WrapperConfig(se_baseline="inaction")
+        ws, obs = W.reset(cfg, wcfg, pool, jax.random.PRNGKey(0), 1)
+        b0 = np.asarray(ws.baseline_board[0]).copy()
+        ws, obs, r, d, info = _step(cfg, wcfg, pool, ws, 0)
+        b1 = np.asarray(ws.baseline_board[0])
+        assert (b0 != b1).any()
+        # ...while the episode-start capture stays fixed.
+        np.testing.assert_array_equal(
+            np.asarray(ws.episode_start_board[0]), b0)
