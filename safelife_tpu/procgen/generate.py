@@ -1,11 +1,16 @@
 """Top-level procedural level generation.
 
-Semantics parity: reference ``safelife/proc_gen.py`` — region partitioning,
-layered region population (fences, spawners, tree lattices, annealed
-patterns, movable/hardened conversions, buffer zones, fountains, goal
-extraction), agent/exit placement, the recursive randomization DSL
-(``{choices: ...}`` / ``{uniform: [lo, hi]}``), and ``stability_mask``.
-YAML level-parameter files written for the reference load unchanged.
+Distribution parity: reference ``safelife/proc_gen.py`` — the same YAML
+parameter schema drives the same layered region population (fencing,
+spawners, tree lattices, annealed patterns, movable/hardened conversions,
+buffer zones, fountains, board/goal targeting), agent and exit placement,
+the recursive randomization DSL (``{choices: ...}`` / ``{uniform: [lo,
+hi]}``), and ``stability_mask``. Reference yaml files load unchanged.
+
+Structure here is our own: each region is painted onto a
+:class:`_RegionCanvas` that tracks the working board, the annealer's
+cell-permission flags, and which painted cells belong to the final board
+versus the goal board; every layer feature is a canvas method.
 """
 
 import numpy as np
@@ -46,8 +51,8 @@ DEFAULT_AGENT = {
     'points_table': DEFAULT_POINTS_TABLE,
 }
 
-_MASK_ALL = (P.NEW_CELL_MASK | P.CAN_OSCILLATE_MASK
-             | P.INCLUDE_VIOLATIONS_MASK)
+_FULL_PERMISSIONS = (P.NEW_CELL_MASK | P.CAN_OSCILLATE_MASK
+                     | P.INCLUDE_VIOLATIONS_MASK)
 _NOT_RAINBOW = np.uint16(~C.RAINBOW_COLOR & 0xFFFF)
 
 
@@ -79,265 +84,330 @@ def fix_random_values(val):
     return {key: fix_random_values(x) for key, x in val.items()}
 
 
-def _gen_pattern_retry(board, mask, seeds=None, num_retries=10, **kwargs):
-    """Retry ladder around the annealer (parity: proc_gen.py:199-231):
-    lower min_fill on non-convergence, raise max_fill on overfull output."""
+def _wrapped_dilate(plane, size=3):
+    return ndimage.maximum_filter(plane, size=size, mode='wrap')
+
+
+def _anneal_with_retries(board, flags, seeds=None, attempts=10, **kwargs):
+    """Run the annealer, relaxing fill bounds on failure.
+
+    Retry policy parity (``proc_gen.py:199-231``): non-convergence lowers
+    ``min_fill`` by 6% per attempt; an overfull result raises ``max_fill``
+    by 7%; unrecoverable errors return the board unchanged.
+    """
     min_fill = kwargs.setdefault('min_fill', 0.2)
     max_fill = kwargs.pop('max_fill', min_fill * 2)
     try:
-        new_board = P.gen_pattern(board, mask, seeds=seeds, **kwargs)
+        out = P.gen_pattern(board, flags, seeds=seeds, **kwargs)
     except P.InsufficientAreaException:
         return board
     except P.MaxIterException:
-        if num_retries > 0:
-            kwargs['min_fill'] = min_fill * 0.94
-            kwargs['max_fill'] = max_fill
-            return _gen_pattern_retry(board, mask, seeds, num_retries - 1,
-                                      **kwargs)
-        return board
+        if attempts <= 0:
+            return board
+        kwargs.update(min_fill=min_fill * 0.94, max_fill=max_fill)
+        return _anneal_with_retries(board, flags, seeds, attempts - 1,
+                                    **kwargs)
     except P.BoardGenException:
         return board
-    working = (mask & P.NEW_CELL_MASK) > 0
-    fill_ratio = ((new_board != 0) & working).sum() / max(working.sum(), 1)
-    if fill_ratio > max_fill:
-        if num_retries > 0:
-            kwargs['max_fill'] = 1.07 * max_fill
-            return _gen_pattern_retry(board, mask, seeds, num_retries - 1,
-                                      **kwargs)
-        return board
-    return new_board
+    writable = (flags & P.NEW_CELL_MASK) > 0
+    fill = ((out != 0) & writable).sum() / max(writable.sum(), 1)
+    if fill > max_fill:
+        if attempts <= 0:
+            return board
+        kwargs.update(min_fill=min_fill, max_fill=1.07 * max_fill)
+        return _anneal_with_retries(board, flags, seeds, attempts - 1,
+                                    **kwargs)
+    return out
+
+
+class _RegionCanvas:
+    """Working state while painting one region, layer by layer.
+
+    Attributes
+    ----------
+    board : uint16 working cells (everything painted so far).
+    flags : per-cell annealer permissions (NEW_CELL / CAN_OSCILLATE /
+        INCLUDE_VIOLATIONS) — layers progressively revoke permissions so
+        later layers cannot disturb earlier ones.
+    to_board / to_goals : selectors deciding which painted cells end up
+        on the final board vs the goal board.
+    keep_goal_color : cells whose goal keeps its own color (everything
+        else painted onto goals is decolored).
+    """
+
+    def __init__(self, region):
+        region = np.asarray(region, bool)
+        shape = region.shape
+        halo = _wrapped_dilate(region) ^ region
+        self.region = region
+        self.flags = (region * _FULL_PERMISSIONS
+                      + halo * P.INCLUDE_VIOLATIONS_MASK).astype(np.int32)
+        self.board = np.zeros(shape, dtype=np.uint16)
+        self.to_board = np.zeros(shape, dtype=bool)
+        self.to_goals = np.zeros(shape, dtype=bool)
+        self.keep_goal_color = np.zeros(shape, dtype=bool)
+        self.seeds = None
+        self.deepest_period = 1
+
+    # -- queries ---------------------------------------------------------
+
+    def writable(self, flags=None):
+        return ((self.flags if flags is None else flags)
+                & P.NEW_CELL_MASK) > 0
+
+    # -- layer features --------------------------------------------------
+
+    def paint_fences(self, fraction):
+        fences = build_fence(self.flags & P.NEW_CELL_MASK)
+        fences *= coinflip(fraction, fences.shape)
+        self.flags &= ~(fences * (P.NEW_CELL_MASK | P.CAN_OSCILLATE_MASK))
+        self.board += fences.astype(np.uint16) * C.WALL
+
+    def paint_spawners(self, density, color, writable0, interior):
+        rng = get_rng()
+        eligible = writable0 & interior
+        chosen = eligible & coinflip(density, self.board.shape)
+        if not chosen.any() and eligible.any():
+            # A spawner region must actually contain a spawner.
+            ys, xs = np.nonzero(eligible)
+            pick = rng.choice(len(ys))
+            chosen[ys[pick], xs[pick]] = True
+        self.flags[chosen] ^= P.NEW_CELL_MASK
+        self.board[chosen] = C.SPAWNER + color
+
+    def paint_lattice(self, params, color):
+        if not isinstance(params, dict):
+            params = {}
+        h, w = self.board.shape
+        stagger = params.get('stagger', True)
+        spacing = float(params.get('spacing', 5))
+        if not stagger:
+            cells = make_lattice(h, w, spacing, spacing, 0)
+        elif spacing <= 3:
+            cells = make_lattice(h, w, 3, 3, 1)
+        elif spacing == 4:
+            cells = make_lattice(h, w, 10, 1, 3)
+        elif spacing == 5:
+            cells = make_lattice(h, w, 13, 1, 5)
+        else:
+            cells = make_lattice(h, w, 6, 3, 3)
+        cells &= self.writable()
+        self.board[cells] = C.TREE + color
+
+    def paint_pattern(self, params, color):
+        """Anneal a still-life / oscillator layer, then freeze it.
+
+        Returns the layer's declared period (0 = inert, 1 = still,
+        p >= 2 = oscillator).
+        """
+        params = dict(params)
+        period = params.get('period', 1)
+        if period == 1:
+            flags = self.flags & ~P.CAN_OSCILLATE_MASK
+            params.update(period=self.deepest_period, osc_bonus=0)
+        elif period == 0:
+            flags = self.flags & ~P.INCLUDE_VIOLATIONS_MASK
+            params.update(period=self.deepest_period, osc_bonus=0)
+        elif period < self.deepest_period:
+            raise ValueError(
+                "Periods for sequential layers in a region must be "
+                "either 0, 1, or at least as large as prior layers.")
+        else:
+            flags = self.flags
+            self.deepest_period = period
+
+        before = self.board.copy()
+        self.board = _anneal_with_retries(self.board, flags, self.seeds,
+                                          **params)
+        self._freeze_pattern()
+
+        painted = self.board != before
+        lifeborn = ((self.board & C.ALIVE) > 0) & painted
+        self.board += (color * lifeborn).astype(np.uint16)
+        self.seeds = ((self.board & C.ALIVE) > 0) & self.region
+        return period
+
+    def _freeze_pattern(self):
+        """Revoke permissions over the evolved pattern's support so later
+        layers leave it intact: still cells lose writability, oscillating
+        cells (and their neighbors) additionally lose oscillation."""
+        from ..core.advance_np import advance_board_np
+
+        phases = [self.board.astype(np.int64)]
+        for _ in range(1, self.deepest_period):
+            phases.append(advance_board_np(phases[-1]))
+        support = np.array(phases) != 0
+        always = support.all(axis=0)
+        sometimes = always ^ support.any(axis=0)
+        self.flags[sometimes] &= ~(P.NEW_CELL_MASK
+                                   | P.INCLUDE_VIOLATIONS_MASK)
+        self.flags[always | _wrapped_dilate(sometimes)] &= \
+            ~(P.NEW_CELL_MASK | P.CAN_OSCILLATE_MASK)
+
+    def convert_cells(self, painted, fraction, from_type, bit, sign=+1):
+        """Flip a bit on a random ``fraction`` of painted ``from_type``
+        cells (movable walls/trees, hardened life)."""
+        chosen = coinflip(fraction, self.board.shape) * painted
+        chosen *= (self.board & _NOT_RAINBOW) == from_type
+        delta = (chosen * bit).astype(np.uint16)
+        if sign > 0:
+            self.board += delta
+        else:
+            self.board -= delta
+
+    def apply_buffer(self, cells_wide):
+        """Life cells repel later construction by ``cells_wide`` cells."""
+        size = cells_wide * 2 + 1
+        near_life = _wrapped_dilate((self.board & C.ALIVE) > 0, size)
+        self.flags[near_life] &= ~P.NEW_CELL_MASK
+        return size
+
+    def route_layer(self, painted, target, period):
+        """Record which of this layer's cells go to board vs goals."""
+        if target == 'board':
+            self.to_board[painted] = True
+            if period > 0:
+                self.to_goals[painted] = True
+        elif target == 'goals':
+            self.to_goals[painted] = True
+            self.keep_goal_color[painted] = True
+            self.to_board[painted & ((self.board & C.ALIVE) == 0)] = True
+        elif target == 'both':
+            self.to_board[painted] = True
+            if period > 0:
+                self.to_goals[painted] = True
+                self.keep_goal_color[painted] = True
+        else:
+            raise ValueError("Unexpected value for 'target': %s" % (target,))
+
+    def paint_fountains(self, density, color, buffer_size):
+        centers = coinflip(density, self.board.shape) * self.writable()
+        halos = _wrapped_dilate(centers) * self.writable()
+        self.flags[halos] = P.INCLUDE_VIOLATIONS_MASK
+        if buffer_size > 1:
+            self.flags[_wrapped_dilate(halos, buffer_size)] &= \
+                ~P.NEW_CELL_MASK
+        self.board[halos] = C.WALL + color
+        self.board[centers] = C.FOUNTAIN + color
+        self.to_board[centers] = True
+        self.to_goals[halos] = True
+        self.keep_goal_color[halos] = True
+
+    # -- output ----------------------------------------------------------
+
+    def render(self):
+        """Split the painted cells into (board, goals)."""
+        goals = self.board.copy()
+        board = self.board * self.to_board
+        goals *= self.to_goals
+        goals &= ~np.uint16(C.SPAWNING)
+        goals &= ~np.uint16(C.RAINBOW_COLOR * ~self.keep_goal_color)
+        return board, goals
 
 
 def populate_region(mask, layer_params):
-    """Fill one isolated region with layered content. Returns (board, goals).
-
-    Parity: ``proc_gen.py:241-489``; see that docstring for the layer
-    parameter reference (color, fences, spawners, pattern, tree_lattice,
-    movable_walls, movable_trees, hardened_life, buffer_zone, target,
-    fountains).
-    """
-    rng = get_rng()
-    mask = np.asarray(mask, bool)
-    border = ndimage.maximum_filter(mask, size=3, mode='wrap') ^ mask
-    gen_mask = (mask * _MASK_ALL
-                + border * P.INCLUDE_VIOLATIONS_MASK).astype(np.int32)
-    board = np.zeros(mask.shape, dtype=np.uint16)
-    foreground = np.zeros(mask.shape, dtype=bool)
-    background = np.zeros(mask.shape, dtype=bool)
-    background_color = np.zeros(mask.shape, dtype=bool)
-    seeds = None
-    max_period = 1
+    """Fill one isolated region with layered content. Returns
+    (board, goals). Layer schema parity: ``proc_gen.py:241-489``."""
+    canvas = _RegionCanvas(mask)
 
     for layer in layer_params:
         if not isinstance(layer, dict):
             raise ValueError("layer_params must be a list of dicts")
         layer = fix_random_values(layer)
-        old_board = board.copy()
-        gen_mask0 = gen_mask.copy()
+        before = canvas.board.copy()
+        writable0 = canvas.writable()
         interior = ndimage.minimum_filter(
-            (gen_mask & P.NEW_CELL_MASK) > 0, size=3, mode='wrap')
+            writable0, size=3, mode='wrap')
         color = COLORS.get(layer.get('color'), 0)
 
-        fence_frac = layer.get('fences', 0.0)
-        if fence_frac > 0:
-            fences = build_fence(gen_mask & P.NEW_CELL_MASK)
-            fences *= coinflip(fence_frac, fences.shape)
-            gen_mask &= ~(fences * (P.NEW_CELL_MASK | P.CAN_OSCILLATE_MASK))
-            board += fences.astype(np.uint16) * C.WALL
-
-        spawners = layer.get('spawners', 0)
-        if spawners > 0:
-            _m = ((gen_mask0 & P.NEW_CELL_MASK) > 0) & interior
-            new_cells = _m & coinflip(spawners, board.shape)
-            if not new_cells.any() and _m.any():
-                i, j = np.nonzero(_m)
-                k = rng.choice(len(i))  # always place at least one spawner
-                new_cells[i[k], j[k]] = True
-            gen_mask[new_cells] ^= P.NEW_CELL_MASK
-            board[new_cells] = C.SPAWNER + color
-
-        tree_lattice = layer.get('tree_lattice')
-        if tree_lattice is not None:
-            if not isinstance(tree_lattice, dict):
-                tree_lattice = {}
-            h, w = board.shape
-            stagger = tree_lattice.get('stagger', True)
-            spacing = float(tree_lattice.get('spacing', 5))
-            if not stagger:
-                new_cells = make_lattice(h, w, spacing, spacing, 0)
-            elif spacing <= 3:
-                new_cells = make_lattice(h, w, 3, 3, 1)
-            elif spacing == 4:
-                new_cells = make_lattice(h, w, 10, 1, 3)
-            elif spacing == 5:
-                new_cells = make_lattice(h, w, 13, 1, 5)
-            else:
-                new_cells = make_lattice(h, w, 6, 3, 3)
-            new_cells &= (gen_mask & P.NEW_CELL_MASK) > 0
-            board[new_cells] = C.TREE + color
+        if layer.get('fences', 0.0) > 0:
+            canvas.paint_fences(layer['fences'])
+        if layer.get('spawners', 0) > 0:
+            canvas.paint_spawners(layer['spawners'], color, writable0,
+                                  interior)
+        if layer.get('tree_lattice') is not None:
+            canvas.paint_lattice(layer['tree_lattice'], color)
 
         period = 1
         if 'pattern' in layer:
-            pattern_args = dict(layer['pattern'])
-            period = pattern_args.get('period', 1)
-            if period == 1:
-                gen_mask2 = gen_mask & ~P.CAN_OSCILLATE_MASK
-                pattern_args.update(period=max_period, osc_bonus=0)
-            elif period == 0:
-                gen_mask2 = gen_mask & ~P.INCLUDE_VIOLATIONS_MASK
-                pattern_args.update(period=max_period, osc_bonus=0)
-            elif period < max_period:
-                raise ValueError(
-                    "Periods for sequential layers in a region must be "
-                    "either 0, 1, or at least as large as prior layers.")
-            else:
-                gen_mask2 = gen_mask
-                max_period = period
+            period = canvas.paint_pattern(layer['pattern'], color)
 
-            board = _gen_pattern_retry(board, gen_mask2, seeds,
-                                       **pattern_args)
+        painted = canvas.board != before
+        if layer.get('movable_walls', 0) > 0:
+            canvas.convert_cells(painted, layer['movable_walls'],
+                                 C.WALL, C.MOVABLE)
+        if layer.get('movable_trees', 0) > 0:
+            canvas.convert_cells(painted, layer['movable_trees'],
+                                 C.TREE, C.MOVABLE)
+        if layer.get('hardened_life', 0) > 0:
+            canvas.convert_cells(painted, layer['hardened_life'],
+                                 C.LIFE, C.DESTRUCTIBLE, sign=-1)
 
-            # Freeze this layer's pattern against later edits: compute the
-            # oscillation cycle and mask still/oscillating cells (and the
-            # neighbors of oscillating cells).
-            from ..core.advance_np import advance_board_np
-            boards = [board.astype(np.int64)]
-            for _ in range(1, max_period):
-                boards.append(advance_board_np(boards[-1]))
-            non_empty = np.array(boards) != 0
-            still_cells = non_empty.all(axis=0)
-            osc_cells = still_cells ^ non_empty.any(axis=0)
-            osc_neighbors = ndimage.maximum_filter(osc_cells, size=3,
-                                                   mode='wrap')
-            gen_mask[osc_cells] &= ~(P.NEW_CELL_MASK
-                                     | P.INCLUDE_VIOLATIONS_MASK)
-            gen_mask[still_cells | osc_neighbors] &= \
-                ~(P.NEW_CELL_MASK | P.CAN_OSCILLATE_MASK)
+        buffer_size = canvas.apply_buffer(layer.get('buffer_zone', 0))
+        canvas.route_layer(painted, layer.get('target', 'board'), period)
 
-            new_mask = board != old_board
-            life_mask = ((board & C.ALIVE) > 0) & new_mask
-            board += (color * new_mask * life_mask).astype(np.uint16)
-            seeds = ((board & C.ALIVE) > 0) & mask
+        if layer.get('fountains', 0) > 0:
+            canvas.paint_fountains(layer['fountains'], color, buffer_size)
 
-        new_mask = board != old_board
+    return canvas.render()
 
-        movable_walls = layer.get('movable_walls', 0)
-        if movable_walls > 0:
-            new_cells = coinflip(movable_walls, board.shape) * new_mask
-            new_cells *= (board & _NOT_RAINBOW) == C.WALL
-            board += (new_cells * C.MOVABLE).astype(np.uint16)
 
-        movable_trees = layer.get('movable_trees', 0)
-        if movable_trees > 0:
-            new_cells = coinflip(movable_trees, board.shape) * new_mask
-            new_cells *= (board & _NOT_RAINBOW) == C.TREE
-            board += (new_cells * C.MOVABLE).astype(np.uint16)
+def _resolve_agent_roster(agents, agent_types):
+    """Turn the yaml agent roster into concrete cell values and tables."""
+    registry = {'default': DEFAULT_AGENT, **agent_types}
+    values, tables, names = [], [], []
+    for entry in fix_random_values(agents):
+        entry = fix_random_values(entry)
+        if entry not in registry:
+            continue
+        spec = {**DEFAULT_AGENT, **registry[entry]}
+        val = C.AGENT | C.FROZEN | COLORS.get(spec['color'], 0)
+        for flag in spec['flags']:
+            val |= AGENT_PROPERTIES.get(flag, 0)
+        values.append(val)
+        tables.append(np.asarray(spec['points_table']))
+        names.append(entry)
+    return values, tables, names
 
-        hardened_life = layer.get('hardened_life', 0)
-        if hardened_life > 0:
-            new_cells = coinflip(hardened_life, board.shape) * new_mask
-            new_cells *= (board & _NOT_RAINBOW) == C.LIFE
-            board -= (new_cells * C.DESTRUCTIBLE).astype(np.uint16)
 
-        buffer_size = layer.get('buffer_zone', 0) * 2 + 1
-        life_cells = (board & C.ALIVE) > 0
-        buf = ndimage.maximum_filter(life_cells, size=buffer_size,
-                                     mode='wrap')
-        gen_mask[buf] &= ~P.NEW_CELL_MASK
-
-        target = layer.get('target', 'board')
-        if target == 'board':
-            foreground[new_mask] = True
-            if period > 0:
-                background[new_mask] = True
-        elif target == 'goals':
-            background[new_mask] = True
-            background_color[new_mask] = True
-            foreground[new_mask & ((board & C.ALIVE) == 0)] = True
-        elif target == 'both':
-            foreground[new_mask] = True
-            if period > 0:
-                background[new_mask] = True
-                background_color[new_mask] = True
-        else:
-            raise ValueError("Unexpected value for 'target': %s" % (target,))
-
-        fountains = layer.get('fountains', 0)
-        if fountains > 0:
-            new_cells = coinflip(fountains, board.shape)
-            new_cells *= (gen_mask & P.NEW_CELL_MASK) > 0
-            neighbors = ndimage.maximum_filter(new_cells, size=3,
-                                               mode='wrap')
-            neighbors *= (gen_mask & P.NEW_CELL_MASK) > 0
-            gen_mask[neighbors] = P.INCLUDE_VIOLATIONS_MASK
-            if buffer_size > 1:
-                buf = ndimage.maximum_filter(neighbors, size=buffer_size,
-                                             mode='wrap')
-                gen_mask[buf] &= ~P.NEW_CELL_MASK
-            board[neighbors] = C.WALL + color
-            board[new_cells] = C.FOUNTAIN + color
-            foreground[new_cells] = True
-            background[neighbors] = True
-            background_color[neighbors] = True
-
-    goals = board.copy()
-    board *= foreground
-    goals *= background
-    goals &= ~np.uint16(C.SPAWNING)
-    goals &= ~np.uint16(C.RAINBOW_COLOR * ~background_color)
-
-    return board, goals
+def _wrapped_l1_from(locs, shape):
+    """Summed toroidal L1 distance from every board cell to ``locs``."""
+    h, w = shape
+    dy = np.abs(np.arange(h)[:, None] - locs[:, 0])
+    dx = np.abs(np.arange(w)[:, None] - locs[:, 1])
+    dy = np.minimum(dy, h - dy).sum(axis=-1)
+    dx = np.minimum(dx, w - dx).sum(axis=-1)
+    return dy[:, None] + dx[None, :]
 
 
 def add_agents_and_exit(board, regions, agents, agent_types):
-    """Place agents in the buffer region and the exit as far from them as
-    possible. Modifies board and regions in place.
-    Parity: ``proc_gen.py:492-573``."""
-    rng = get_rng()
-    agent_vals, point_tables, agent_names = [], [], []
-    agent_types = {'default': DEFAULT_AGENT, **agent_types}
-    for agent_type in fix_random_values(agents):
-        agent_type = fix_random_values(agent_type)
-        if agent_type not in agent_types:
-            continue
-        agent = {**DEFAULT_AGENT, **agent_types[agent_type]}
-        val = C.AGENT | C.FROZEN
-        val |= COLORS.get(agent['color'], 0)
-        for flag in agent['flags']:
-            val |= AGENT_PROPERTIES.get(flag, 0)
-        agent_vals.append(val)
-        point_tables.append(np.asarray(agent['points_table']))
-        agent_names.append(agent_type)
-
-    if not agent_vals:
+    """Place the agent roster in the buffer region and one exit as far
+    from the agents as possible. Modifies board and regions in place.
+    Placement parity: ``proc_gen.py:492-573``."""
+    values, tables, names = _resolve_agent_roster(agents, agent_types)
+    if not values:
         return (np.zeros((0, 2), dtype=int), np.zeros((0, 8, 9), dtype=int),
                 [])
 
-    zero_reg = regions == 0
-    zero_idx = np.array(np.nonzero(zero_reg)).T
-    agent_vals = agent_vals[:len(zero_idx)]
-    agent_locs = zero_idx[
-        rng.choice(len(zero_idx), len(agent_vals), replace=False)]
-    board[tuple(agent_locs.T)] = agent_vals
+    buffer_cells = regions == 0
+    open_spots = np.argwhere(buffer_cells)
+    values = values[:len(open_spots)]  # cannot place more than fits
+    agent_locs = open_spots[
+        get_rng().choice(len(open_spots), len(values), replace=False)]
+    board[tuple(agent_locs.T)] = values
 
-    # Exit at the max wrapped-L1 distance from all agents, within the buffer.
-    row_dist = np.abs(np.arange(board.shape[0])[:, None] - agent_locs[:, 0])
-    col_dist = np.abs(np.arange(board.shape[1])[:, None] - agent_locs[:, 1])
-    row_dist = np.sum(np.minimum(row_dist, board.shape[0] - row_dist), -1)
-    col_dist = np.sum(np.minimum(col_dist, board.shape[1] - col_dist), -1)
-    dist = (row_dist[:, None] + col_dist[None, :]) * zero_reg
-    k = np.argmax(dist)
-    exit_loc = k // board.shape[1], k % board.shape[1]
+    dist = _wrapped_l1_from(agent_locs, board.shape) * buffer_cells
+    exit_loc = np.unravel_index(np.argmax(dist), board.shape)
     board[exit_loc] = C.LEVEL_EXIT | C.COLOR_R
 
-    # Keep other regions away from the agents and exit.
-    all_locs = np.append(agent_locs, [exit_loc], axis=0)
-    n = np.array([[-1, 0, 1, -1, 0, 1, -1, 0, 1],
-                  [-1, -1, -1, 0, 0, 0, 1, 1, 1]]).T
-    new_locs = (all_locs[:, None] + n).reshape(-1, 2) % board.shape
-    regions[tuple(new_locs.T)] = -1
+    # Reserve a one-cell margin around agents and exit so no region
+    # content is generated adjacent to them.
+    reserved = np.concatenate([agent_locs, [exit_loc]])
+    offs = np.mgrid[-1:2, -1:2].reshape(2, 9).T
+    near = (reserved[:, None] + offs).reshape(-1, 2) % board.shape
+    regions[tuple(near.T)] = -1
 
-    return agent_locs, np.array(point_tables), agent_names
+    return agent_locs, np.array(tables), names
 
 
 def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
@@ -345,7 +415,7 @@ def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
              named_regions={}, agents=['default'], agent_types={}, **etc):
     """Generate one random level. Returns a
     :class:`~safelife_tpu.io.levels.Level`.
-    Parity: ``proc_gen.py:576-687`` (same YAML parameter schema)."""
+    Parameter schema parity: ``proc_gen.py:576-687``."""
     board_shape = tuple(fix_random_values(board_shape))
     min_performance = fix_random_values(min_performance)
     partitioning = fix_random_values(partitioning)
@@ -357,29 +427,28 @@ def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
     agent_locs, points_table, agent_names = add_agents_and_exit(
         board, regions, agents, agent_types)
 
+    first_pick, later_pick = starting_region, later_regions
     for k in np.unique(regions)[2:]:
-        mask = regions == k
-        if starting_region is not None:
-            region_name = fix_random_values(starting_region)
-        else:
-            region_name = fix_random_values(later_regions)
+        pick = later_pick if first_pick is None else first_pick
+        first_pick = None
+        region_name = fix_random_values(pick)
         if region_name not in named_regions:
             continue
-        rboard, rgoals = populate_region(mask, named_regions[region_name])
+        rboard, rgoals = populate_region(
+            regions == k, named_regions[region_name])
         board += rboard
         goals += rgoals
-        starting_region = None
 
-    buffer_region = fix_random_values(buffer_region)
-    if buffer_region in named_regions:
-        mask = regions == 0
-        rboard, rgoals = populate_region(mask, named_regions[buffer_region])
+    buffer_pick = fix_random_values(buffer_region)
+    if buffer_pick in named_regions:
+        rboard, rgoals = populate_region(
+            regions == 0, named_regions[buffer_pick])
         board += rboard
         goals += rgoals
 
     # White-color the buffer goals as a visual hint.
-    buffer_mask = (regions <= 0) & ((goals & C.RAINBOW_COLOR) == 0)
-    goals[buffer_mask] += C.RAINBOW_COLOR
+    no_color = (regions <= 0) & ((goals & C.RAINBOW_COLOR) == 0)
+    goals[no_color] += C.RAINBOW_COLOR
 
     board = board.astype(np.int32)
     # Agents start facing right (parity: gen_game passes orientation=1).
@@ -400,34 +469,35 @@ def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
 
 
 def stability_mask(board, period=6, remove_agent=True):
-    """Separable regions stable under the given period.
-    Parity: ``proc_gen.py:690-731``."""
+    """Mask of separable regions that are stable over ``period`` steps.
+    Behavior parity: ``proc_gen.py:690-731``."""
     from ..core.advance_np import advance_board_np
 
     board = np.asarray(board).astype(np.int64)
     if remove_agent:
         board = board * ((board & C.AGENT) == 0)
 
-    neighborhood = np.ones((3, 3))
-    alive = (board & C.ALIVE) // C.ALIVE
-    neighbors = ndimage.convolve(alive, neighborhood, mode='wrap')
-    max_neighbors = neighbors
-    ever_alive = alive
-    orig_board = board
-    cur = board
+    # Roll the CA forward, tracking the phases.
+    phases = [board]
     for _ in range(period):
-        cur = advance_board_np(cur)
-        alive = (cur & C.ALIVE) // C.ALIVE
-        neighbors = ndimage.convolve(alive, neighborhood, mode='wrap')
-        ever_alive = ever_alive | alive
-        max_neighbors = np.maximum(max_neighbors, neighbors)
-    board_end = cur
-    is_boundary = (board_end & C.FROZEN) > 0
-    is_boundary |= (ever_alive == 0) & (max_neighbors <= 2)
-    labels, num_labels = P.wrapped_label(~is_boundary)
-    mask = np.zeros(board.shape, dtype=bool)
-    for idx in range(1, num_labels + 1):
-        region = labels == idx
-        if (board_end[region] == orig_board[region]).all():
-            mask |= region
-    return mask
+        phases.append(advance_board_np(phases[-1]))
+    alive = (np.array(phases) & C.ALIVE) == C.ALIVE
+    counts = np.array([
+        sum(np.roll(np.roll(a.astype(np.int32), dy, 0), dx, 1)
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+        for a in alive])
+
+    # Boundary cells split the board into independent components: frozen
+    # cells at the end state, plus cells that never interact with life
+    # (never alive, never more than 2 live neighbors at any phase).
+    final = phases[-1]
+    boundary = (final & C.FROZEN) > 0
+    boundary |= ~alive.any(axis=0) & (counts.max(axis=0) <= 2)
+
+    labels, n = P.wrapped_label(~boundary)
+    stable = np.zeros(board.shape, dtype=bool)
+    for k in range(1, n + 1):
+        component = labels == k
+        if (final[component] == board[component]).all():
+            stable |= component
+    return stable

@@ -1,109 +1,173 @@
 """Board partitioning and fencing for procedural generation.
 
-Semantics parity targets in the reference:
+Behavioral parity targets in the reference (distribution-level, not
+draw-for-draw — the reference samples from Python ``set`` iteration
+order, so no exact draw sequence is even defined):
 
-* :func:`make_partitioned_regions` — ``proc_gen.py:44-110``: grow regions by
-  a Dirichlet-process-like frontier expansion; regions stay >= 2 cells apart.
-* :func:`build_fence` — ``proc_gen.py:113-167``: two-pass heuristic walling
-  that keeps patterns from escaping a region.
+* :func:`make_partitioned_regions` — ``proc_gen.py:44-110``: stochastic
+  region growth on a torus, one cell at a time, with a 2-cell separation
+  rule between regions and a Dirichlet-process-style choice between
+  growing an existing region and seeding a new one.
+* :func:`build_fence` — ``proc_gen.py:113-167``: wall off a region so no
+  cell outside it can ever be born from cells inside.
 * :func:`make_lattice` — ``proc_gen.py:234-238``.
+
+The implementation here is array-based: frontier and exclusion sets are
+boolean planes indexed per region, cells are drawn by masked index
+sampling, and the separation test reads a wrapped 5x5 window directly.
 """
 
 import numpy as np
-from scipy import ndimage, signal
 
 from ..utils.rng import get_rng
+
+#: 4-neighborhood offsets (region growth is edge-connected).
+_CROSS = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)])
+
+
+def _wrapped_window(arr, y, x, radius):
+    """A (2r+1, 2r+1) toroidal window of ``arr`` centered at (y, x)."""
+    idx = np.arange(-radius, radius + 1)
+    return arr[np.ix_((y + idx) % arr.shape[0], (x + idx) % arr.shape[1])]
+
+
+def _ring_counts(window, member):
+    """For each cell of the central 3x3 block of a 5x5 boolean ``member``
+    plane, count members among its 8 ring neighbors."""
+    padded = member.astype(np.int16)
+    # Sliding 3x3 sums over the 5x5 plane -> 3x3 of block totals.
+    sums = sum(
+        padded[1 + dy:4 + dy, 1 + dx:4 + dx]
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return sums - padded[1:4, 1:4]
+
+
+def _sample_true(rng, plane):
+    """Uniformly sample the flat index of one True cell of ``plane``."""
+    flat = np.flatnonzero(plane)
+    return flat[rng.integers(len(flat))]
 
 
 def make_partitioned_regions(shape, alpha=1.0, max_regions=5, min_regions=2):
     """Partition a wrapped board into distinct, well-separated regions.
 
-    Returns an int array: 0 marks buffer cells between regions, k >= 1 marks
-    region k's cells.
+    Returns an int array: 0 marks buffer cells between regions, k >= 1
+    marks region k's cells. Any two distinct regions are always at least
+    two cells apart, so their patterns cannot interact.
     """
     rng = get_rng()
-    ring = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], dtype=np.int16)
-    adjacent = np.array([(-1, 0), (1, 0), (0, -1), (0, 1)])
-    nearby = np.meshgrid([-2, -1, 0, 1, 2], [-2, -1, 0, 1, 2])
-
+    h, w = shape
     board = np.zeros(shape, dtype=np.int16)
-    # perimeters[0] is the global unassigned frontier; perimeters[k] the
-    # growth frontier of region k.
-    perimeters = [{(i, j) for i in range(shape[0]) for j in range(shape[1])}]
-    exclusions = [set()]
-    while sum(len(p) for p in perimeters) > 0:
-        weights = np.array([len(p) for p in perimeters], dtype=float)
-        weights[0] = (min(alpha, weights[0])
-                      if len(weights) <= max_regions else 1e-10)
-        if len(weights) <= min_regions:
-            weights[1:] = 1e-10
-        weights /= weights.sum()
-        k = rng.choice(len(perimeters), p=weights)
-        plist = list(perimeters[k])
-        i, j = plist[rng.choice(len(plist))]
-        perimeters[0].discard((i, j))
-        perimeters[k].discard((i, j))
-        if (i, j) in exclusions[k]:
+
+    # Plane 0 is the global seeding frontier (all unassigned cells at
+    # first); plane k >= 1 is region k's growth frontier. ``tried`` marks
+    # cells already attempted (and rejected or taken) per plane.
+    frontiers = [np.ones(shape, dtype=bool)]
+    tried = [np.zeros(shape, dtype=bool)]
+
+    while True:
+        counts = np.array([f.sum() for f in frontiers], dtype=float)
+        if counts.sum() == 0:
+            break
+        # Seeding weight: alpha-capped while new regions are allowed,
+        # suppressed once max_regions exist; existing regions are
+        # suppressed until min_regions exist.
+        counts[0] = (min(alpha, counts[0])
+                     if len(frontiers) <= max_regions else 1e-10)
+        if len(frontiers) <= min_regions:
+            counts[1:] = 1e-10
+        k = rng.choice(len(frontiers), p=counts / counts.sum())
+        if not frontiers[k].any():
+            # A suppressed-but-empty plane can still be drawn with
+            # epsilon weight; just redraw.
             continue
-        exclusions[0].add((i, j))
-        exclusions[k].add((i, j))
-        b = board[(i + nearby[0]) % shape[0], (j + nearby[1]) % shape[1]]
-        b[2, 2] = k or -1
-        num_neighbors = signal.convolve2d(b != 0, ring, mode='valid')
-        num_foreign = signal.convolve2d((b > 0) & (b != k), ring,
-                                        mode='valid')
-        if ((num_foreign > 0) & (num_neighbors > 2)).any() \
-                or num_foreign[1, 1] > 0:
+
+        flat = _sample_true(rng, frontiers[k])
+        y, x = flat // w, flat % w
+        frontiers[0].flat[flat] = False
+        frontiers[k].flat[flat] = False
+        if tried[k][y, x]:
             continue
+        tried[0][y, x] = True
+        tried[k][y, x] = True
+
+        label = k if k else len(frontiers)  # seeding creates a new label
+        win = _wrapped_window(board, y, x, 2).copy()
+        win[2, 2] = label
+        occupied = _ring_counts(win, win != 0)
+        foreign_n = _ring_counts(win, (win != 0) & (win != label))
+        # Separation rule: the candidate may not touch a foreign region,
+        # and no nearby cell may simultaneously neighbor a foreign region
+        # and more than two occupied cells (enough to interact under the
+        # CA rules).
+        if foreign_n[1, 1] > 0 or \
+                ((foreign_n > 0) & (occupied > 2)).any():
+            continue
+
         if k == 0:
-            k = len(perimeters)
-            perimeters.append(set())
-            exclusions.append(set())
-        board[i, j] = k
-        for i2, j2 in (adjacent + (i, j)) % shape:
-            if board[i2, j2] == 0:
-                perimeters[k].add((i2, j2))
+            frontiers.append(np.zeros(shape, dtype=bool))
+            tried.append(np.zeros(shape, dtype=bool))
+        board[y, x] = label
+        for dy, dx in _CROSS:
+            ny, nx = (y + dy) % h, (x + dx) % w
+            if board[ny, nx] == 0:
+                frontiers[label][ny, nx] = True
     return board
 
 
-def build_fence(mask, shuffle=True):
-    """Wall off unmasked regions so nothing inside can escape.
+def _neighbor_sums(plane):
+    """Toroidal 3x3 (self-included) sums of an integer plane."""
+    out = plane.copy()
+    out += np.roll(plane, 1, axis=1) + np.roll(plane, -1, axis=1)
+    return out + np.roll(out, 1, axis=0) + np.roll(out, -1, axis=0)
 
-    Two passes: greedily add fence cells where an outside cell could be
-    born (3+ inside neighbors), then remove fence cells that turned out
-    unnecessary.
+
+def build_fence(mask, shuffle=True):
+    """Wall off the masked region so nothing inside can escape.
+
+    A cell outside the region can only ever be born if it has three live
+    neighbors, so it suffices that every outside cell near the region
+    boundary keeps fewer than three unfenced region neighbors. Greedy
+    construction, then greedy relaxation:
+
+    1. walk the region's edge cells (shuffled); fence any whose removal
+       is still needed (an adjacent outside cell sees >= 3 region cells);
+    2. walk the placed fence cells (shuffled); unfence any that turned
+       out redundant (every adjacent outside count would stay < 3).
     """
     rng = get_rng()
-    mask = np.asarray(mask).astype(np.int32)
-    _i = np.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], dtype=np.int32)
-    _j = np.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], dtype=np.int32)
-    neighbors = ndimage.convolve(mask, np.ones((3, 3)), mode='wrap')
-    fence = np.zeros_like(mask)
-    edge_i, edge_j = np.nonzero(mask * neighbors % 9)
-    neighbors *= (1 - mask)
-    if edge_i.size == 0:
-        return fence
+    mask = np.asarray(mask, dtype=bool)
+    h, w = mask.shape
+    offs = np.mgrid[-1:2, -1:2].reshape(2, 9)
 
-    if shuffle:
-        k = rng.permutation(len(edge_i))
-        edge_i, edge_j = edge_i[k], edge_j[k]
-    for i, j in zip(edge_i, edge_j):
-        n_i = (i + _i) % mask.shape[0]
-        n_j = (j + _j) % mask.shape[1]
-        if (neighbors[n_i, n_j] >= 3).any():
-            neighbors[n_i, n_j] -= 1
-            fence[i, j] += 1
+    inside_counts = _neighbor_sums(mask.astype(np.int32))
+    # Outside cells' view of how many (unfenced) region cells they see.
+    exposure = inside_counts * ~mask
+    # Edge cells: region cells with any non-region cell in their block.
+    edge = mask & (inside_counts < 9)
+    fence = np.zeros(mask.shape, dtype=np.int32)
 
-    fence_i, fence_j = np.nonzero(fence)
-    if shuffle:
-        k = rng.permutation(len(fence_i))
-        fence_i, fence_j = fence_i[k], fence_j[k]
-    for i, j in zip(fence_i, fence_j):
-        n_i = (i + _i) % mask.shape[0]
-        n_j = (j + _j) % mask.shape[1]
-        if (neighbors[n_i, n_j] < 2).all():
-            neighbors[n_i, n_j] += 1
-            fence[i, j] -= 1
+    def block(y, x):
+        return (y + offs[0]) % h, (x + offs[1]) % w
+
+    def walk(cells):
+        ys, xs = np.nonzero(cells)
+        if shuffle and len(ys):
+            order = rng.permutation(len(ys))
+            ys, xs = ys[order], xs[order]
+        return zip(ys, xs)
+
+    for y, x in walk(edge):
+        ny, nx = block(y, x)
+        if (exposure[ny, nx] >= 3).any():
+            exposure[ny, nx] -= 1
+            fence[y, x] = 1
+
+    for y, x in walk(fence > 0):
+        ny, nx = block(y, x)
+        if (exposure[ny, nx] < 2).all():
+            exposure[ny, nx] += 1
+            fence[y, x] = 0
 
     return fence
 

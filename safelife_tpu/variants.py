@@ -27,20 +27,66 @@ _NEIGHBORHOODS = {
 }
 
 
-def _wrapped_conv3(x, kernel):
-    """3x3 convolution with toroidal wrap (numpy, any integer dtype)."""
-    out = np.zeros_like(x)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            k = kernel[1 + dy, 1 + dx]
-            if k:
-                out += k * np.roll(np.roll(x, dy, 0), dx, 1)
-    return out
+def _variant_step_np(board, draw, spawn_prob, born_rule, survive_rule):
+    """One GameOfLife-variant step (numpy twin of
+    :func:`advance_board_general`; both encode the rule spec below).
+
+    Rule spec (this variant *intentionally* differs from the canonical C
+    kernel in its consensus and spawn compounding):
+
+    * dead cell -> born when its Moore-neighbor count is in
+      ``born_rule``, or by spawning with probability ``1 - (1-p)^k`` over
+      k spawner neighbors; blocked by frozen self or inhibiting neighbor.
+    * live cell -> dies when its count is outside ``survive_rule``;
+      blocked by frozen self or preserving neighbor. Death clears every
+      bit of the cell.
+    * newborn color: per RGB channel, weighted neighborhood votes (live
+      cell = 1, spawner = 2) pass at >= 2.
+    * newborn destructibility: destructible unless >= 2 indestructible
+      live neighbors.
+
+    ``draw`` is a uniform [0,1) field used for the spawn test.
+    """
+    def ring(x):
+        cols = np.roll(x, 1, -1) + np.roll(x, -1, -1)
+        rows = x + cols
+        return np.roll(rows, 1, -2) + np.roll(rows, -1, -2) + cols
+
+    alive = (board & C.ALIVE) > 0
+    spawning = (board & C.SPAWNING) > 0
+    frozen = (board & C.FROZEN) > 0
+
+    can_die = ~frozen & (ring(board & C.PRESERVING) == 0)
+    can_grow = ~frozen & (ring(board & C.INHIBITING) == 0)
+
+    nn = ring(alive.astype(np.int64))
+    ns = ring(spawning.astype(np.int64))
+    has_spawned = draw < 1 - (1 - spawn_prob) ** ns
+
+    born = np.zeros(9, bool)
+    born[list(born_rule)] = True
+    dies = np.ones(9, bool)
+    dies[list(survive_rule)] = False
+
+    new_alive = (born[nn] | has_spawned) & ~alive & can_grow
+    new_dead = dies[nn] & alive & can_die
+
+    new_flags = np.zeros_like(board)
+    weights = 1 * alive + 2 * spawning
+    for color in (C.COLOR_R, C.COLOR_G, C.COLOR_B):
+        votes = ring(((board & color) > 0) * weights)
+        new_flags += color * (votes >= 2)
+    indestructible = alive & ((board & C.DESTRUCTIBLE) == 0)
+    new_flags += C.DESTRUCTIBLE * (ring(indestructible.astype(np.int64)) < 2)
+
+    out = board * ~(new_alive | new_dead)
+    return (out + new_alive * (C.ALIVE + new_flags)).astype(board.dtype)
 
 
 class GameOfLife(SafeLifeGame):
     """SafeLife with configurable Born/Survive rules (classic Conway is
-    B3/S23). Parity: reference ``GameOfLife`` (safelife_game.py:768-838).
+    B3/S23). Role parity: reference ``GameOfLife``
+    (safelife_game.py:768-838); the step itself is :func:`_variant_step_np`.
     """
 
     survive_rule = (2, 3)
@@ -49,48 +95,9 @@ class GameOfLife(SafeLifeGame):
     def advance_board(self):
         self.num_steps += 1
         self._needs_new_counts = True
-        rng = self.rng
-        board = self.board.copy()
-        cfilter = _NEIGHBORHOODS[8]
-
-        alive = (board & C.ALIVE) > 0
-        spawning = (board & C.SPAWNING) > 0
-        frozen = (board & C.FROZEN) > 0
-
-        can_die = ~frozen & (
-            _wrapped_conv3(board & C.PRESERVING, cfilter) == 0)
-        can_grow = ~frozen & (
-            _wrapped_conv3(board & C.INHIBITING, cfilter) == 0)
-
-        num_neighbors = _wrapped_conv3(alive.astype(np.int64), cfilter)
-        num_spawn = _wrapped_conv3(spawning.astype(np.int64), cfilter)
-        spawn_prob = 1 - (1 - self.spawn_prob) ** num_spawn
-        has_spawned = rng.random(board.shape) < spawn_prob
-
-        born = np.zeros(9, dtype=bool)
-        born[list(self.born_rule)] = True
-        dead = np.ones(9, dtype=bool)
-        dead[list(self.survive_rule)] = False
-
-        new_alive = (born[num_neighbors] | has_spawned) & ~alive & can_grow
-        new_dead = dead[num_neighbors] & alive & can_die
-
-        # Color consensus: alive neighbors weigh 1, spawners weigh 2; two
-        # or more weighted votes pass the color to any newborn cell.
-        new_flags = np.zeros_like(board)
-        color_weights = 1 * alive + 2 * spawning
-        for color in (C.COLOR_R, C.COLOR_G, C.COLOR_B):
-            has_color = (board & color) > 0
-            votes = _wrapped_conv3(
-                (has_color * color_weights).astype(np.int64), cfilter)
-            new_flags += color * (votes >= 2)
-        indestructible = alive & ((board & C.DESTRUCTIBLE) == 0)
-        new_flags += C.DESTRUCTIBLE * (
-            _wrapped_conv3(indestructible.astype(np.int64), cfilter) < 2)
-
-        board *= ~(new_alive | new_dead)
-        board += (new_alive * (C.ALIVE + new_flags)).astype(board.dtype)
-        self.board = board
+        self.board = _variant_step_np(
+            self.board, self.rng.random(self.board.shape), self.spawn_prob,
+            self.born_rule, self.survive_rule)
         # Goals do not evolve in this variant (matching the reference,
         # whose GameOfLife.advance_board only touches the board).
 

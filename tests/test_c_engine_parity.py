@@ -182,14 +182,43 @@ class TestProcgenDistributionParity:
     distributional: cell-population statistics on matched task specs.
     """
 
-    def test_append_still_distribution(self):
+    #: 50-level samples per side; tolerances calibrated against the
+    #: reference's own seed-to-seed spread (two independent reference
+    #: samples of 50 differ by up to ~6% relative on these statistics;
+    #: 15% relative + 0.003 absolute catches a broken generator layer
+    #: while staying clear of sampling noise).
+    NUM_LEVELS = 50
+    RTOL = 0.15
+    ATOL = 0.003
+
+    @staticmethod
+    def _stats(boards, goals):
+        """Per-cell-population statistics across a level sample: life,
+        walls, trees, movables, hardened life, and per-type goal-color
+        fractions."""
+        b = np.array([np.asarray(x, np.int64) for x in boards])
+        g = np.array([np.asarray(x, np.int64) for x in goals])
+        not_rb = ~np.int64(C.RAINBOW_COLOR)
+        return np.array([
+            (b & 1).mean(),
+            ((b & C.FROZEN) > 0).mean(),
+            ((b & not_rb) == C.TREE).mean(),
+            ((b & C.PUSHABLE) > 0).mean(),
+            # hardened life: alive but not destructible, not frozen
+            ((b & (C.ALIVE | C.DESTRUCTIBLE | C.FROZEN)) == C.ALIVE).mean(),
+            (((g >> 9) & 7) == 4).mean(),   # blue goals
+            (((g >> 9) & 7) == 2).mean(),   # green goals
+            (((g >> 9) & 7) > 0).mean(),    # any-colored goals
+        ])
+
+    def _compare_task(self, task):
         import yaml
         from safelife import proc_gen as ref_pg
         from safelife.random import set_rng as ref_set_rng
         from safelife_tpu.io.iterator import SafeLifeLevelIterator
 
         params = yaml.safe_load(open(
-            REF + "/safelife/levels/random/append-still.yaml"))
+            REF + "/safelife/levels/random/%s.yaml" % task))
         defaults = yaml.safe_load(open(
             REF + "/safelife/levels/random/_defaults.yaml"))
         merged = {**defaults, **params}
@@ -197,22 +226,23 @@ class TestProcgenDistributionParity:
             **defaults.get("named_regions", {}),
             **params.get("named_regions", {})}
         refs = []
-        for i in range(12):
+        for i in range(self.NUM_LEVELS):
             ref_set_rng(np.random.default_rng(1000 + i))
             refs.append(ref_pg.gen_game(**merged))
-        it = SafeLifeLevelIterator("random/append-still", seed=1000,
+        it = SafeLifeLevelIterator("random/" + task, seed=1000,
                                    num_workers=0)
-        ours = [next(it) for _ in range(12)]
+        ours = [next(it) for _ in range(self.NUM_LEVELS)]
 
-        def stats(bs, gs):
-            alive = np.mean([(b & 1).mean() for b in bs])
-            frozen = np.mean([((b & C.FROZEN) > 0).mean() for b in bs])
-            blue = np.mean([(((g >> 9) & 7) == 4).mean() for g in gs])
-            return np.array([alive, frozen, blue])
+        r = self._stats([g.board for g in refs], [g.goals for g in refs])
+        o = self._stats([lv.board for lv in ours],
+                        [lv.goals for lv in ours])
+        np.testing.assert_allclose(o, r, rtol=self.RTOL, atol=self.ATOL)
 
-        r = stats([g.board for g in refs], [g.goals for g in refs])
-        o = stats([lv.board for lv in ours], [lv.goals for lv in ours])
-        np.testing.assert_allclose(o, r, rtol=0.45, atol=0.01)
+    def test_append_still_distribution(self):
+        self._compare_task("append-still")
+
+    def test_prune_still_distribution(self):
+        self._compare_task("prune-still")
 
 
 class TestFullEnvParity:

@@ -240,7 +240,8 @@ class TestArchiveTooling:
         from safelife_tpu.io import levels as L
         from safelife_tpu.io.iterator import BENCHMARK_TASKS
 
-        base = os.path.join(L.LEVEL_DIRECTORY, "benchmarks", "v1")
+        # The packaged canonical suite is the reference's frozen v1.0.
+        base = os.path.join(L.LEVEL_DIRECTORY, "benchmarks", "v1.0")
         assert len(BENCHMARK_TASKS) == 8
         for task in BENCHMARK_TASKS:
             levels = L.load_levels(os.path.join(base, task + ".npz"))
