@@ -62,6 +62,55 @@ def _nb_or(x):
     return r | jnp.roll(r, 1, axis=-2) | jnp.roll(r, -1, axis=-2)
 
 
+def pack_counters(board):
+    """Per-cell packed values feeding the two neighborhood aggregations.
+
+    Returns (packed, orv): ``packed`` carries the five counters (alive,
+    destructible2, color r/g/b) in 5-bit lanes of one int32 so a single
+    separable neighborhood *sum* covers all of them (max count 9 < 32, so
+    lanes cannot carry); ``orv`` carries the PRESERVING/INHIBITING/
+    SPAWNING flags plus spawner colors for the neighborhood *OR*.
+    Exposed separately so spatially-sharded advances
+    (:mod:`safelife_tpu.parallel.spatial`) can aggregate over halo slabs.
+    """
+    # Copy the destructible bit onto bit 8 so destructibility flows through
+    # the same machinery as colors (parity: advance_board.c:45-47).
+    m = board | ((board & C.DESTRUCTIBLE) << 5)
+
+    alive = m & 1
+    packed = (
+        alive
+        | (((m >> 8) & alive) << 5)
+        | (((m >> 9) & alive) << 10)
+        | (((m >> 10) & alive) << 15)
+        | (((m >> 11) & alive) << 20)
+    )
+    spawner = (m >> C.SPAWNING_BIT) & 1
+    orv = (m & (C.PRESERVING | C.INHIBITING | C.SPAWNING)) | ((m & C.COLORS) * spawner)
+    return packed, orv
+
+
+def stats_from_aggregates(s, orred):
+    """Unpack neighborhood (sum, OR) aggregates into the rule's inputs."""
+    count = s & 31
+    cnt_d2 = (s >> 5) & 31
+    cnt_r = (s >> 10) & 31
+    cnt_g = (s >> 15) & 31
+    cnt_b = (s >> 20) & 31
+
+    flags = orred & (C.PRESERVING | C.INHIBITING | C.SPAWNING)
+    spawn_colors = orred & C.COLORS
+
+    consensus_colors = (
+        jnp.where(cnt_r >= 2, C.COLOR_R, 0)
+        | jnp.where(cnt_g >= 2, C.COLOR_G, 0)
+        | jnp.where(cnt_b >= 2, C.COLOR_B, 0)
+        | spawn_colors
+    )
+    consensus_destructible = jnp.where(cnt_d2 >= 2, C.DESTRUCTIBLE, 0)
+    return count, flags, consensus_colors, consensus_destructible
+
+
 def neighborhood_stats(board):
     """Compute all 3x3 neighborhood aggregates the advance rule needs.
 
@@ -82,43 +131,8 @@ def neighborhood_stats(board):
         DESTRUCTIBLE bit (at DESTRUCTIBLE_BIT) where >=2 alive cells of the
         block are destructible-or-exit (the C kernel's bit-8 aliasing).
     """
-    # Copy the destructible bit onto bit 8 so destructibility flows through
-    # the same machinery as colors (parity: advance_board.c:45-47).
-    m = board | ((board & C.DESTRUCTIBLE) << 5)
-
-    alive = m & 1
-    # Pack the five counters (alive, destructible2, color r/g/b) into 5-bit
-    # lanes of a single int32 so one separable neighborhood sum covers all of
-    # them.  Max count is 9 < 32, so lanes cannot carry into each other.
-    packed = (
-        alive
-        | (((m >> 8) & alive) << 5)
-        | (((m >> 9) & alive) << 10)
-        | (((m >> 10) & alive) << 15)
-        | (((m >> 11) & alive) << 20)
-    )
-    s = _nb_sum(packed)
-    count = s & 31
-    cnt_d2 = (s >> 5) & 31
-    cnt_r = (s >> 10) & 31
-    cnt_g = (s >> 15) & 31
-    cnt_b = (s >> 20) & 31
-
-    # OR-reduced flags; spawner colors ride along in the color-bit positions.
-    spawner = (m >> C.SPAWNING_BIT) & 1
-    orv = (m & (C.PRESERVING | C.INHIBITING | C.SPAWNING)) | ((m & C.COLORS) * spawner)
-    orred = _nb_or(orv)
-    flags = orred & (C.PRESERVING | C.INHIBITING | C.SPAWNING)
-    spawn_colors = orred & C.COLORS
-
-    consensus_colors = (
-        jnp.where(cnt_r >= 2, C.COLOR_R, 0)
-        | jnp.where(cnt_g >= 2, C.COLOR_G, 0)
-        | jnp.where(cnt_b >= 2, C.COLOR_B, 0)
-        | spawn_colors
-    )
-    consensus_destructible = jnp.where(cnt_d2 >= 2, C.DESTRUCTIBLE, 0)
-    return count, flags, consensus_colors, consensus_destructible
+    packed, orv = pack_counters(board)
+    return stats_from_aggregates(_nb_sum(packed), _nb_or(orv))
 
 
 def advance_board_given_spawns(board, spawn_draw_lt_prob):

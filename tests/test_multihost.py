@@ -1,0 +1,125 @@
+"""Genuine multi-process distributed tests (2-process CPU cluster).
+
+The virtual 8-device mesh tests (test_parallel.py) prove sharded ==
+unsharded within one process; these tests spawn a REAL 2-process JAX
+cluster over a localhost coordinator and assert that
+
+* ``initialize_distributed`` wires both processes into one fleet,
+* cross-process collectives produce the single-process answer,
+* ``per_host_seed`` gives distinct, reproducible per-host level streams,
+* ``gather_episodes`` delivers every host's episode records to host 0.
+
+Each worker runs in a subprocess (its own JAX runtime); the test asserts
+on their exit codes and printed results.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+import jax.numpy as jnp
+import numpy as np
+from safelife_tpu.parallel import mesh as M
+
+proc, nprocs = M.initialize_distributed(
+    coordinator_address="localhost:" + port, num_processes=2,
+    process_id=pid)
+assert (proc, nprocs) == (pid, 2), (proc, nprocs)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4, len(jax.devices())        # global
+assert len(jax.local_devices()) == 2                      # per host
+
+# --- cross-process collective parity -------------------------------
+mesh = M.make_mesh()
+from jax.sharding import NamedSharding, PartitionSpec as P
+sharding = NamedSharding(mesh, P(M.ENV_AXIS))
+global_shape = (8,)
+full = np.arange(8, dtype=np.float32) * 3.5
+arr = jax.make_array_from_callback(
+    global_shape, sharding, lambda idx: full[idx])
+total = jax.jit(lambda x: x.sum(), out_shardings=NamedSharding(mesh, P()))(arr)
+np.testing.assert_allclose(float(total), full.sum())
+
+# --- per-host seeds: distinct across hosts, equal across calls -----
+mine = M.per_host_seed(1234).generate_state(4)
+again = M.per_host_seed(1234).generate_state(4)
+other = M.per_host_seed(1234, process_index=1 - pid).generate_state(4)
+assert (mine == again).all()
+assert (mine != other).any()
+
+# --- episode gather: both hosts' records arrive everywhere ---------
+recs = {"reward": np.full((3,), float(pid)),
+        "level_idx": np.arange(3) + 10 * pid}
+out = M.gather_episodes(recs)
+assert out["reward"].shape == (6,)
+assert set(out["level_idx"].tolist()) == {0, 1, 2, 10, 11, 12}
+if M.is_logging_host():
+    assert pid == 0
+print("WORKER_OK", pid)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_cluster(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # The axon TPU-tunnel PJRT plugin (if present on PYTHONPATH) breaks
+    # CPU-cluster coordination — these workers must run pure-CPU JAX.
+    inherited = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                 if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + inherited)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, \
+            "worker %d failed:\n%s" % (pid, out[-4000:])
+        assert ("WORKER_OK %d" % pid) in out
+
+
+def test_per_host_seed_single_process():
+    from safelife_tpu.parallel import mesh as M
+
+    a = M.per_host_seed(7, 0)
+    b = M.per_host_seed(7, 1)
+    assert (a.generate_state(4) != b.generate_state(4)).any()
+    # Stable across SeedSequence inputs too.
+    root = np.random.SeedSequence(7)
+    c = M.per_host_seed(root, 0)
+    assert (a.generate_state(4) == c.generate_state(4)).all()
