@@ -1,7 +1,11 @@
 """Headline benchmark: env-steps/s on append-still, batch 4096, one chip.
 
 Runs a fused on-device rollout (random policy) over 4096 lockstep SafeLife
-boards loaded from the append-still benchmark suite and reports throughput.
+boards loaded from the frozen v1.0 append-still benchmark suite and
+reports throughput for the FULL reference-equivalent step: physics +
+actions + exit logic + scoring + the unpacked 15-channel 25x25 training
+observation every step (what the reference env pays in
+``safelife_env.py:105-146`` / ``env_factory.py:311-327``).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). Its
 serial Python-loop + C-kernel engine runs on the order of 1e4 env-steps/s
@@ -51,10 +55,12 @@ def main():
 
     from safelife_tpu.env import env as E
 
+    from safelife_tpu.training.env_factory import TRAINING_CHANNELS
+
     pool = load_pool()
     cfg = E.EnvConfig(
         view_shape=(25, 25),
-        output_channels=None,  # raw views; pure env throughput
+        output_channels=TRAINING_CHANNELS,  # full 15-channel obs unpack
         time_limit=1000,
         goals_may_evolve=False,  # append-still goals are static
         stochastic=False,         # append-still boards are spawner-free
@@ -63,34 +69,42 @@ def main():
 
     state, obs = E.reset(cfg, pool, jax.random.PRNGKey(0), BATCH)
 
-    def run_chunk(state, key):
+    def run_chunk(carry, key):
         def body(carry, k):
-            state = carry
+            state, obs = carry
             ka, ke = jax.random.split(k)
-            actions = jax.random.randint(
+            base = jax.random.randint(
                 ka, (BATCH, pool.num_agents), 0, 9, jnp.int32)
+            # Fold the observation into the action stream so the full
+            # 15-channel obs unpack is a live data dependency every step
+            # (exactly as it is for a real policy); still uniform over
+            # the 9 actions.
+            checksum = obs.reshape(BATCH, pool.num_agents, -1).sum(
+                axis=-1, dtype=jnp.int32)
+            actions = (base + checksum) % 9
             state, obs, reward, done, info = E.step_impl(
                 cfg, pool, state, actions, ke)
-            return state, reward.sum()
+            return (state, obs), reward.sum()
         keys = jax.random.split(key, SCAN_STEPS)
-        state, rs = jax.lax.scan(body, state, keys)
-        return state, rs.sum()
+        carry, rs = jax.lax.scan(body, carry, keys)
+        return carry, rs.sum()
 
     run = jax.jit(run_chunk, donate_argnums=0)
 
+    carry = (state, obs)
     t0 = time.perf_counter()
-    state, _ = run(state, jax.random.PRNGKey(1))
-    jax.block_until_ready(state)
+    carry, _ = run(carry, jax.random.PRNGKey(1))
+    jax.block_until_ready(carry)
     log("compile+warmup: %.1fs" % (time.perf_counter() - t0))
 
     t0 = time.perf_counter()
     for i in range(TIMED_REPS):
-        state, rsum = run(state, jax.random.PRNGKey(2 + i))
+        carry, rsum = run(carry, jax.random.PRNGKey(2 + i))
     # A real scalar fetch: the donated state chains the calls, so waiting
     # on the last reward sum forces completion of every timed rep (over a
     # tunneled device, block_until_ready alone can under-report).
     log("reward checksum:", float(rsum))
-    jax.block_until_ready(state)
+    jax.block_until_ready(carry)
     dt = time.perf_counter() - t0
 
     steps = BATCH * SCAN_STEPS * TIMED_REPS
@@ -99,7 +113,8 @@ def main():
         % (rate, steps, dt, jax.devices()[0].device_kind))
 
     print(json.dumps({
-        "metric": "env-steps/s/chip (append-still, batch 4096, lockstep)",
+        "metric": "env-steps/s/chip (append-still, batch 4096, "
+                  "full 15-channel 25x25 obs)",
         "value": round(rate),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / REFERENCE_BASELINE_STEPS_PER_S, 2),

@@ -85,6 +85,7 @@ class GameLoop:
         self.game_idx = -1
 
     def next_level(self, delta=1):
+        self.save_recording()
         self.game_idx += delta
         while self.game_idx >= len(self.games):
             lv = next(self.iterator)
@@ -96,7 +97,14 @@ class GameLoop:
         self.game = self.games[self.game_idx]
         self.game.revert()
         self.undo_stack = []
-        self.history = {"board": [], "goals": []}
+        # History starts with the level's initial state so recordings
+        # replay from the very beginning (parity:
+        # interactive_game.py:155-165 record()-at-reset).
+        self.history = {
+            "board": [self.game.board.copy()],
+            "goals": [self.game.goals.copy()],
+            "agent_locs": [self.game.agent_locs.copy()],
+        }
         self.scored = False
 
     def snapshot(self):
@@ -123,6 +131,27 @@ class GameLoop:
         if self.history is not None:
             self.history["board"].append(self.game.board.copy())
             self.history["goals"].append(self.game.goals.copy())
+            self.history["agent_locs"].append(self.game.agent_locs.copy())
+
+    def save_recording(self):
+        """Write the captured play history as ``rec-NNN.npz`` under
+        ``record_to`` (parity: interactive_game.py:167-199)."""
+        if not self.record_to or self.history is None \
+                or len(self.history["board"]) < 2:
+            return None
+        import glob
+        os.makedirs(self.record_to, exist_ok=True)
+        old = glob.glob(os.path.join(self.record_to, "rec-*.npz"))
+        n = 1 + max(
+            (int(os.path.basename(f)[4:-4]) for f in old), default=0)
+        path = os.path.join(self.record_to, "rec-%03d.npz" % n)
+        np.savez_compressed(
+            path,
+            board=np.stack(self.history["board"]),
+            goals=np.stack(self.history["goals"]),
+            agent_locs=np.stack(self.history["agent_locs"]))
+        self.message = "recorded %s" % path
+        return path
 
     def end_of_level_summary(self):
         g = self.game
@@ -220,6 +249,7 @@ class GameLoop:
             self.draw()
             key = getch()
             if key == "q" or key == "\x03":
+                self.save_recording()
                 return
             elif key == "?":
                 self.message = HELP
@@ -252,4 +282,4 @@ def _expand_benchmark_paths(paths):
 def play_cmd(args):
     it = SafeLifeLevelIterator(*_expand_benchmark_paths(args.paths),
                                seed=args.seed)
-    GameLoop(it).run()
+    GameLoop(it, record_to=getattr(args, "record", None)).run()

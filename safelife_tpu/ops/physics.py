@@ -49,11 +49,26 @@ MAX_CELLS = 4096
 def use_fused_physics(board_shape, batch):
     """Whether the fused kernel handles this configuration.
 
-    Currently opt-in (``SAFELIFE_TPU_PALLAS=1``): measured on v5e at batch
-    4096 x 26x26, the fused kernel runs the physics phase in ~457 us vs
-    ~234 us for the fused-XLA formulation — the cross-lane one-hot
-    reductions for per-agent cell access dominate. The XLA path wins until
-    the kernel moves to a cell-on-sublane layout.
+    **Negative result, kept as a documented appendix** (opt-in via
+    ``SAFELIFE_TPU_PALLAS=1``; the production step always uses the
+    fused-XLA formulation). Measured on v5e at batch 4096 x 26x26:
+
+    * fused Pallas kernel (this file, cells-on-lanes): ~457 us for the
+      physics phase — the cross-lane one-hot reductions for per-agent
+      cell access dominate;
+    * cells-on-sublanes layouts (two variants, round-1
+      ``.scratch/pallas_v2.py``/``pallas_v3.py``, in git history at
+      ``7a34a45``): the plain CA advance alone already loses to XLA in
+      that layout, so the fused form was not pursued;
+    * fused-XLA formulation (``core/advance.py`` + ``core/actions.py``
+      under one jit): ~234 us, within ~1.5x of the HBM-bandwidth bound
+      for the arrays the step must touch.
+
+    XLA's fusion is already near speed-of-light for this elementwise,
+    bandwidth-bound workload; a hand kernel can only win here by fusing
+    *more* of the step than XLA does, and XLA fuses all of it. The
+    kernels stay bit-exact-tested (``tests/test_pallas.py``, on real
+    TPU) as evidence and a base for future large-board work.
     """
     if not os.environ.get("SAFELIFE_TPU_PALLAS"):
         return False

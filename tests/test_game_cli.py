@@ -209,3 +209,26 @@ class TestBoardEditing:
         g.agent_locs = np.array([[6, 9]])
         g.resize_board(-4, -4)
         assert len(g.agent_locs) == 0
+
+
+class TestInteractiveRecording:
+    def test_save_recording_writes_npz(self, tmp_path):
+        from safelife_tpu.interactive import GameLoop
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+
+        it = SafeLifeLevelIterator("random/append-still", seed=11,
+                                   num_workers=0)
+        loop = GameLoop(it, record_to=str(tmp_path))
+        loop.next_level(+1)
+        loop.step_game("MOVE RIGHT")
+        loop.step_game("MOVE DOWN")
+        path = loop.save_recording()
+        assert path and path.endswith("rec-001.npz")
+        data = np.load(path)
+        # initial state + two steps
+        assert data["board"].shape[0] == 3
+        assert data["goals"].shape == data["board"].shape
+        assert data["agent_locs"].shape[0] == 3
+        # second recording numbers up
+        loop.step_game("MOVE LEFT")
+        assert loop.save_recording().endswith("rec-002.npz")

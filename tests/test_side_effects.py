@@ -131,3 +131,54 @@ class TestCellNames:
         assert cell_name(C.SPAWNER | C.COLOR_R | C.COLOR_G) == \
             "spawner-yellow"
         assert cell_name(C.CRATE) == "crate-gray"
+
+
+class TestSinkhornFallback:
+    """Large instances (spawn tasks can change most of the board) switch
+    to the Sinkhorn approximation; it must stay within a small tolerance
+    of the exact LP and be an upper bound (the rounded plan is feasible).
+    """
+
+    def _pair(self, n_changed, seed):
+        rng = np.random.default_rng(seed)
+        a = np.zeros((26, 26))
+        b = np.zeros((26, 26))
+        idx = rng.choice(676, n_changed, replace=False)
+        a.flat[idx[:n_changed // 2]] = rng.random(n_changed // 2)
+        b.flat[idx[n_changed // 2:]] = rng.random(
+            n_changed - n_changed // 2)
+        return a, b
+
+    @pytest.mark.parametrize("n,seed", [(160, 0), (260, 1), (340, 2)])
+    def test_within_tolerance_of_exact(self, n, seed, monkeypatch):
+        import safelife_tpu.side_effects as SE
+
+        a, b = self._pair(n, seed)
+        monkeypatch.setattr(SE, "EXACT_EMD_MAX_CELLS", 10_000)
+        exact = SE.earth_mover_distance(a, b)
+        monkeypatch.setattr(SE, "EXACT_EMD_MAX_CELLS", 1)
+        approx = SE.earth_mover_distance(a, b)
+        assert approx >= exact - 1e-6          # feasible => upper bound
+        assert approx <= exact * 1.02          # within 2%
+
+    def test_full_board_runs_fast(self):
+        import time
+
+        import safelife_tpu.side_effects as SE
+
+        a, b = self._pair(676, 3)
+        t0 = time.time()
+        v = SE.earth_mover_distance(a, b)
+        assert v > 0
+        assert time.time() - t0 < 5.0, "EMD guard failed: too slow"
+
+    def test_unbalanced_masses(self, monkeypatch):
+        import safelife_tpu.side_effects as SE
+
+        a, b = self._pair(300, 4)
+        a *= 2.5  # surplus on one side exercises the dummy-sink path
+        monkeypatch.setattr(SE, "EXACT_EMD_MAX_CELLS", 10_000)
+        exact = SE.earth_mover_distance(a, b)
+        monkeypatch.setattr(SE, "EXACT_EMD_MAX_CELLS", 1)
+        approx = SE.earth_mover_distance(a, b)
+        assert abs(approx - exact) <= max(exact * 0.02, 1e-6)
