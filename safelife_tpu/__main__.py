@@ -58,6 +58,9 @@ def main(argv=None):
     p_play.add_argument("--record", default=None, metavar="DIR",
                         help="save play history as rec-NNN.npz files "
                              "under DIR")
+    p_play.add_argument("--gl", action="store_true",
+                        help="graphical window (pygame) instead of the "
+                             "terminal renderer")
 
     p_new = sub.add_parser("new", help="generate and save levels")
     p_new.add_argument("param_file")

@@ -133,6 +133,39 @@ class GameLoop:
             self.history["goals"].append(self.game.goals.copy())
             self.history["agent_locs"].append(self.game.agent_locs.copy())
 
+    def shell_escape(self):
+        """Drop into an interactive Python shell with the game in scope
+        (parity: interactive_game.py:445-457)."""
+        ns = {"game": self.game, "loop": self, "np": np}
+        try:
+            from IPython import embed
+            embed(user_ns=ns)
+        except ImportError:
+            import code
+            code.interact(banner="safelife-tpu shell: game, loop, np",
+                          local=ns)
+
+    def log_human_benchmark(self, se, score):
+        """Upload a finished human-played benchmark level to wandb when a
+        run is active (parity: interactive_game.py:238-262)."""
+        g = self.game
+        name = str(getattr(g, "file_name", "") or "")
+        if "-human" not in name:
+            return
+        try:
+            import wandb
+        except ImportError:
+            return
+        if wandb.run is None:
+            return
+        wandb.log({
+            "level": name,
+            "length": g.num_steps,
+            "reward": float(np.sum(g.points_earned()[:1])),
+            "side_effects": se.get("total", [0, 0])[0],
+            "combined_score": score,
+        })
+
     def save_recording(self):
         """Write the captured play history as ``rec-NNN.npz`` under
         ``record_to`` (parity: interactive_game.py:167-199)."""
@@ -170,6 +203,7 @@ class GameLoop:
             "reward_possible": np.array([possible]),
             "length": np.array([g.num_steps]),
             "side_effects": se})
+        self.log_human_benchmark(se, float(score[0]))
         return se, float(score[0])
 
     def draw(self):
@@ -253,6 +287,8 @@ class GameLoop:
                 return
             elif key == "?":
                 self.message = HELP
+            elif key == "\\":
+                self.shell_escape()
             elif key == "e":
                 self.edit_mode = not self.edit_mode
             elif self.edit_mode:
@@ -282,4 +318,9 @@ def _expand_benchmark_paths(paths):
 def play_cmd(args):
     it = SafeLifeLevelIterator(*_expand_benchmark_paths(args.paths),
                                seed=args.seed)
-    GameLoop(it, record_to=getattr(args, "record", None)).run()
+    if getattr(args, "gl", False):
+        from .interactive_gl import GraphicalGameLoop
+        GraphicalGameLoop(it, record_to=getattr(args, "record",
+                                                None)).run()
+    else:
+        GameLoop(it, record_to=getattr(args, "record", None)).run()

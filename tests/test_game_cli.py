@@ -232,3 +232,55 @@ class TestInteractiveRecording:
         # second recording numbers up
         loop.step_game("MOVE LEFT")
         assert loop.save_recording().endswith("rec-002.npz")
+
+
+class TestGraphicalFrontend:
+    """The windowed (pygame) frontend runs headless under the SDL dummy
+    driver: synthetic key events drive the shared GameLoop logic and
+    frames render."""
+
+    def test_headless_play_and_draw(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("SDL_VIDEODRIVER", "dummy")
+        import pygame
+
+        from safelife_tpu.interactive_gl import GraphicalGameLoop
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+
+        it = SafeLifeLevelIterator("random/append-still", seed=21,
+                                   num_workers=0)
+        loop = GraphicalGameLoop(it, record_to=str(tmp_path), fps=1000)
+        pygame.init()
+        try:
+            pygame.event.post(pygame.event.Event(
+                pygame.KEYDOWN, key=pygame.K_RIGHT, unicode=""))
+            pygame.event.post(pygame.event.Event(
+                pygame.KEYDOWN, key=pygame.K_DOWN, unicode=""))
+            loop.run(max_frames=3)
+        finally:
+            pygame.quit()
+        assert loop.game.num_steps == 2  # both key events stepped the game
+
+    def test_quit_key_saves_recording(self, monkeypatch, tmp_path):
+        monkeypatch.setenv("SDL_VIDEODRIVER", "dummy")
+        import os
+
+        import pygame
+
+        from safelife_tpu.interactive_gl import GraphicalGameLoop
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+
+        it = SafeLifeLevelIterator("random/append-still", seed=22,
+                                   num_workers=0)
+        loop = GraphicalGameLoop(it, record_to=str(tmp_path), fps=1000)
+        pygame.init()
+        try:
+            pygame.event.post(pygame.event.Event(
+                pygame.KEYDOWN, key=pygame.K_UP, unicode=""))
+            pygame.event.post(pygame.event.Event(
+                pygame.KEYDOWN, key=pygame.K_q, unicode="q"))
+            loop.run(max_frames=10)
+        finally:
+            pygame.quit()
+        recs = [f for f in os.listdir(str(tmp_path))
+                if f.startswith("rec-")]
+        assert recs, "quit must flush the play recording"
