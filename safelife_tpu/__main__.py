@@ -187,6 +187,12 @@ def cmd_train(args):
     finally:
         if tb_proc is not None:
             tb_proc.terminate()
+        try:
+            bundle.pool_manager.close()  # non-daemon procgen workers
+        except (NameError, AttributeError):
+            pass
+        if nprocs > 1:
+            jax.distributed.shutdown()
 
 
 def _iter_levels(paths, seed, num):

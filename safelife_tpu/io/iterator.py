@@ -119,6 +119,12 @@ class SafeLifeLevelIterator:
         if self.results is None:
             self.results = queue.deque(maxlen=self.max_queue)
         if self.num_workers > 0 and self.pool is None:
+            # Forked workers (spawn would re-execute __main__, breaking
+            # script/stdin usage). The parent's live JAX runtime makes
+            # fork technically unsafe for the children; generation itself
+            # is pure NumPy and works, and close() guards the one
+            # observed failure mode (a wedged worker hanging join) with
+            # a kill watchdog.
             self.pool = multiprocessing.Pool(
                 processes=self.num_workers, initializer=_init_worker)
         while len(self.results) < self.max_queue:
@@ -140,14 +146,30 @@ class SafeLifeLevelIterator:
             self.results.append((data, result))
 
     def close(self):
-        """Terminate worker processes (idempotent)."""
+        """Terminate worker processes (idempotent).
+
+        ``join`` runs under a watchdog: a wedged worker (e.g. one that
+        deadlocked at fork) is killed rather than hanging shutdown —
+        in multi-host runs a single hung worker would otherwise stall
+        the whole fleet's shutdown barrier.
+        """
+        import signal
+        import threading
+
         pool, self.pool = self.pool, None
-        if pool is not None:
-            try:
-                pool.terminate()
-                pool.join()
-            except Exception:
-                pass
+        if pool is None:
+            return
+        try:
+            pool.terminate()
+            joiner = threading.Thread(target=pool.join, daemon=True)
+            joiner.start()
+            joiner.join(timeout=10)
+            if joiner.is_alive():
+                for worker in getattr(pool, "_pool", []):
+                    if worker.is_alive():
+                        os.kill(worker.pid, signal.SIGKILL)
+        except Exception:
+            pass
 
     def __del__(self):
         try:
@@ -203,6 +225,9 @@ class LevelPoolManager:
 
     def __init__(self, iterator, pool_size=64, pad_agents=None,
                  pad_exits=None):
+        import jax
+
+        from ..core import cells as C
         from ..env.state import pack_levels
 
         self._pack = pack_levels
@@ -211,8 +236,35 @@ class LevelPoolManager:
         self.pad_exits = pad_exits
         levels = [next(iterator) for _ in range(pool_size)]
         self._host_levels = levels
-        self.pool = self._pack(levels, pad_agents, pad_exits)
         self._slot = 0
+        self._multihost = jax.process_count() > 1
+        if not self._multihost:
+            self.pool = self._pack(levels, pad_agents, pad_exits)
+            self._local_pool = None
+            return
+
+        # Multi-host: every host generates its own levels (per-host seed
+        # streams), the device pool is the allgathered union — identical
+        # on every host, as required for it to ride through the SPMD
+        # training step. Paddings must agree fleet-wide.
+        from jax.experimental import multihost_utils
+
+        from ..parallel import mesh as M
+
+        la = max([pad_agents or 1] + [lv.num_agents for lv in levels])
+        le = max([pad_exits or 1] + [
+            int(((lv.board & (C.EXIT | C.AGENT)) == C.EXIT).sum())
+            for lv in levels])
+        pads = multihost_utils.process_allgather(
+            np.asarray([la, le])).max(axis=0)
+        self._local_pool = self._pack(levels, int(pads[0]), int(pads[1]))
+        self.pool = M.allgather_level_pool(self._local_pool)
+        # Pin the local slice's static flags to the fleet-wide AND so
+        # future local packs stay tree-compatible with the global pool.
+        self._local_pool = self._local_pool.replace(
+            rows_packed=self.pool.rows_packed,
+            all_goals_static=self.pool.all_goals_static,
+            spawner_free=self.pool.spawner_free)
 
     def close(self):
         """Shut down the backing iterator's worker processes."""
@@ -253,19 +305,30 @@ class LevelPoolManager:
             logging.getLogger(__name__).warning(
                 "dropped %d generated level(s) violating the pool's "
                 "static guarantees", len(new) - len(kept))
-        if not kept:
-            return 0
-        for lv in kept:
-            self._host_levels[self._slot] = lv
-            self._slot = (self._slot + 1) % len(self._host_levels)
-        flags = (self.pool.rows_packed, self.pool.all_goals_static,
-                 self.pool.spawner_free)
-        fresh = self._pack(kept, self.pool.agent_locs.shape[-2],
-                           self.pool.exit_locs.shape[-2], force_flags=flags)
-        idx = jnp.asarray(
-            [(self._slot - len(kept) + i) % len(self._host_levels)
-             for i in range(len(kept))], jnp.int32)
-        self.pool = _swap_rows(self.pool, fresh, idx)
+        target = self._local_pool if self._multihost else self.pool
+        if kept:
+            for lv in kept:
+                self._host_levels[self._slot] = lv
+                self._slot = (self._slot + 1) % len(self._host_levels)
+            flags = (target.rows_packed, target.all_goals_static,
+                     target.spawner_free)
+            fresh = self._pack(kept, target.agent_locs.shape[-2],
+                               target.exit_locs.shape[-2],
+                               force_flags=flags)
+            idx = jnp.asarray(
+                [(self._slot - len(kept) + i) % len(self._host_levels)
+                 for i in range(len(kept))], jnp.int32)
+            target = _swap_rows(target, fresh, idx)
+        if self._multihost:
+            # Collective: every host re-gathers the global pool every
+            # refresh (even with nothing new locally), so the replicated
+            # pool stays identical fleet-wide.
+            from ..parallel import mesh as M
+
+            self._local_pool = target
+            self.pool = M.allgather_level_pool(target)
+        elif kept:
+            self.pool = target
         return len(kept)
 
     def _level_compatible(self, lv):

@@ -60,8 +60,11 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
 
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
-    if coordinator_address is None and num_processes is None \
-            and "JAX_NUM_PROCESSES" not in os.environ:
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
         return jax.process_index(), jax.process_count()
     try:
         jax.distributed.initialize(
@@ -97,20 +100,86 @@ def is_logging_host():
     return jax.process_index() == 0
 
 
-def gather_episodes(tree):
-    """Gather per-host episode-record arrays onto every host.
+def training_mesh():
+    """The global mesh for fleet training, or None single-process.
 
-    Identity in single-process runs. In multi-host runs, each leaf's
-    leading axis is concatenated across processes so host 0 can log the
-    fleet's episodes (the reference's deprecated Ray remote logger's
-    role, safelife_logger.py:433-535, redesigned as an allgather).
+    Single-process runs keep plain jit (one device, no sharding
+    overhead); multi-process runs train one global SPMD program: env
+    lanes sharded over every device of every host, learner replicated,
+    gradient reductions over ICI/DCN inserted by XLA.
+    """
+    if jax.process_count() == 1:
+        return None
+    return make_mesh()
+
+
+def global_batch(tree, mesh):
+    """Lift host-identical batched arrays into global lane-sharded arrays.
+
+    Every host must hold the same full value (guaranteed here by seeding
+    reset identically); each host contributes its addressable shards.
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_callback(
+            np.shape(x), sh, lambda idx, _x=x: np.asarray(_x)[idx]), tree)
+
+
+def global_replicated(tree, mesh):
+    """Lift host-identical values into globally replicated arrays."""
+    sh = replicated_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_callback(
+            np.shape(x), sh, lambda idx, _x=x: np.asarray(_x)[idx]), tree)
+
+
+def allgather_level_pool(pool):
+    """Concatenate every host's level pool into one global pool.
+
+    Preserves the per-host level streams (SURVEY §5's SeedSequence
+    folding: each host generates *different* levels) while keeping the
+    device pool replicated-identical on every host — the requirement for
+    the pool to ride through the SPMD training step as a plain input.
+    Identity when single-process. Static pool flags AND across hosts.
+    """
+    if jax.process_count() == 1:
+        return pool
+    from jax.experimental import multihost_utils
+
+    def gather(x):
+        out = multihost_utils.process_allgather(np.asarray(x))
+        return out.reshape((-1,) + out.shape[2:])  # [P, L, ...] -> [P*L,...]
+
+    arrays = jax.tree.map(gather, pool)
+    flags = np.asarray(multihost_utils.process_allgather(np.asarray([
+        pool.rows_packed, pool.all_goals_static, pool.spawner_free])))
+    flags = flags.all(axis=0)
+    return arrays.replace(rows_packed=bool(flags[0]),
+                          all_goals_static=bool(flags[1]),
+                          spawner_free=bool(flags[2]))
+
+
+def gather_episodes(tree):
+    """Materialize episode-record arrays fully on every host.
+
+    Identity in single-process runs. In multi-host runs (the reference's
+    deprecated Ray remote logger's role, safelife_logger.py:433-535,
+    redesigned over collectives): global jax arrays from the SPMD
+    training step are assembled via allgather of their missing shards;
+    plain host-local arrays are concatenated across processes along the
+    episode axis.
     """
     if jax.process_count() == 1:
         return tree
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(tree)
-    # process_allgather stacks a new leading axis [P, ...]; merge it into
-    # the episode axis.
-    return jax.tree.map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), gathered)
+    def gather(x):
+        if isinstance(x, jax.Array):
+            if x.is_fully_addressable:
+                return np.asarray(x)
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        out = multihost_utils.process_allgather(np.asarray(x))
+        return out.reshape((-1,) + out.shape[2:])
+
+    return jax.tree.map(gather, tree)

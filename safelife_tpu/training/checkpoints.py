@@ -32,12 +32,20 @@ class CheckpointManager:
         return os.path.join(self.path, "extra-%d.json" % int(step))
 
     def save(self, step, state, extra=None):
-        """Save a pytree ``state`` plus a small ``extra`` metadata dict."""
+        """Save a pytree ``state`` plus a small ``extra`` metadata dict.
+
+        In multi-host runs every process participates (global arrays are
+        saved collectively by Orbax); the metadata sidecar is written by
+        host 0 alone.
+        """
         self.manager.save(int(step), args=ocp.args.StandardSave(state))
         self.manager.wait_until_finished()
         if extra is not None:
-            with open(self._extra_path(step), "w") as f:
-                json.dump(extra, f)
+            import jax
+
+            if jax.process_index() == 0:
+                with open(self._extra_path(step), "w") as f:
+                    json.dump(extra, f)
 
     def save_if_needed(self, step, state, extra=None):
         if self.next_checkpoint is None:

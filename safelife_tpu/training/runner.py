@@ -102,15 +102,8 @@ run_episodes_jit = jax.jit(
     static_argnames=("env_cfg", "apply_fn", "max_steps"))
 
 
-def batched_occupancy(b_inaction0, b_action, num_steps, spawn_prob, key,
-                      num_samples=1000, max_pre_steps=1000):
-    """Batched inaction/action occupancy distributions for side effects.
-
-    b_inaction0: initial boards [B, H, W]; advanced per-lane ``num_steps``
-    (data-dependent, handled by freezing each lane at its own step inside
-    one shared scan), then both rollouts accumulate ``num_samples`` steps
-    of per-color occupancy.
-    """
+def _batched_occupancy_impl(b_inaction0, b_action, num_steps, spawn_prob,
+                            key, num_samples, max_pre_steps):
     k1, k2, k3 = jax.random.split(key, 3)
 
     def pre_body(b, xs):
@@ -127,6 +120,30 @@ def batched_occupancy(b_inaction0, b_action, num_steps, spawn_prob, key,
     inaction = advance.life_occupancy(b1, k2, spawn_prob, num_samples)
     action = advance.life_occupancy(b_action, k3, spawn_prob, num_samples)
     return inaction, action
+
+
+#: Module-level jit so the heavy 2000-step occupancy scans compile once
+#: per shape, not once per validation call (a fresh closure per call
+#: defeats the jit cache — measured minutes/validation over the TPU
+#: tunnel).
+_batched_occupancy_jit = jax.jit(
+    _batched_occupancy_impl,
+    static_argnames=("num_samples", "max_pre_steps"))
+
+
+def batched_occupancy(b_inaction0, b_action, num_steps, spawn_prob, key,
+                      num_samples=1000, max_pre_steps=1000):
+    """Batched inaction/action occupancy distributions for side effects.
+
+    b_inaction0: initial boards [B, H, W]; advanced per-lane ``num_steps``
+    (data-dependent, handled by freezing each lane at its own step inside
+    one shared scan), then both rollouts accumulate ``num_samples`` steps
+    of per-color occupancy.
+    """
+    return _batched_occupancy_jit(
+        jnp.asarray(b_inaction0), jnp.asarray(b_action),
+        jnp.asarray(num_steps), jnp.asarray(spawn_prob), key,
+        int(num_samples), int(max_pre_steps))
 
 
 def episode_side_effects(init_board, final_board, num_steps, spawn_prob,
@@ -191,18 +208,9 @@ def level_metadata(levels):
     return meta
 
 
-def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
-                           max_steps):
-    """Play one single-lane episode recording the board/goals trajectory.
-
-    Parity intent: the reference's SafeLifeLogWrapper records per-episode
-    board history for trajectory videos (safelife_logger.py:538-592).
-    Returns {'board': uint16[T, H, W], 'goals': uint16[T, H, W]} truncated
-    at episode end.
-    """
+def _record_history_impl(env_cfg, apply_fn, pool, params, state, obs,
+                         keys):
     cfg = dataclasses.replace(env_cfg, auto_reset=False)
-    state = E.reset_batch(cfg, pool, jnp.asarray([level_idx], jnp.int32))
-    obs = E._batch_obs(cfg, state)
 
     def body(carry, k):
         state, obs = carry
@@ -219,14 +227,34 @@ def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
                               info["reward_possible"][0],
                               info["reward_needed"][0])
 
-    @jax.jit
-    def run(state, obs, keys):
-        (state, obs), hist = jax.lax.scan(body, (state, obs), keys)
-        return hist
+    (state, obs), hist = jax.lax.scan(body, (state, obs), keys)
+    return hist
+
+
+#: Module-level jit: the 1000-step recording scan compiles once per
+#: (config, model) rather than on every video capture.
+_record_history_jit = jax.jit(
+    _record_history_impl, static_argnames=("env_cfg", "apply_fn"))
+
+
+def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
+                           max_steps):
+    """Play one single-lane episode recording the board/goals trajectory.
+
+    Parity intent: the reference's SafeLifeLogWrapper records per-episode
+    board history for trajectory videos (safelife_logger.py:538-592).
+    Returns {'board': uint16[T, H, W], 'goals': uint16[T, H, W]} truncated
+    at episode end.
+    """
+    cfg = dataclasses.replace(env_cfg, auto_reset=False)
+    state = E.reset_batch(cfg, pool, jnp.asarray([level_idx], jnp.int32))
+    obs = E._batch_obs(cfg, state)
 
     (boards, goals, dones, ep_rew, ep_len, success, possible,
      needed) = jax.tree.map(
-        np.asarray, run(state, obs, jax.random.split(key, max_steps)))
+        np.asarray, _record_history_jit(
+            env_cfg, apply_fn, pool, params, state, obs,
+            jax.random.split(key, max_steps)))
     hits = np.nonzero(dones)[0]
     end = int(hits[0]) + 1 if len(hits) else max_steps
     last = end - 1

@@ -71,6 +71,13 @@ def _sampled_side_effects(ep_samples, bundle, key):
     return out
 
 
+def eval_params(mesh, state):
+    """Host-local params for evaluation jits (validation, benchmarks,
+    videos run per-host, outside the global SPMD program)."""
+    return jax.device_get(state.params) if mesh is not None \
+        else state.params
+
+
 def _maybe_record_best_episode(bundle, model, params, env_cfg, pool, key):
     """When the curriculum records a new per-stage best, capture one
     episode of that stage with the current policy as a trajectory video
@@ -110,9 +117,24 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
         (1,) + env_cfg.view_shape + (n_ch,), np.float32))
     pstate = ppo_mod.init_ppo_state(ppo_cfg, params)
 
+    # Multi-process runs train one global SPMD program: lanes sharded over
+    # every device of every host, learner replicated (gradient reductions
+    # inserted by XLA). batch_size is the GLOBAL lane count. The pool is
+    # the allgathered union of every host's level stream (LevelPoolManager
+    # keeps it replicated-identical), and the reset key is host-identical,
+    # so the globalization below lifts host-identical values.
+    mesh = M.training_mesh()
     pool = bundle.pool_manager.pool
     ws, obs = W.reset(env_cfg, wcfg, pool, kreset, batch_size,
                       min_perf_fraction=bundle.exit_difficulty_schedule())
+    if mesh is not None:
+        if batch_size % len(jax.devices()):
+            raise ValueError(
+                "global batch_size %d must divide over %d global devices"
+                % (batch_size, len(jax.devices())))
+        ws = M.global_batch(jax.device_get(ws), mesh)
+        obs = M.global_batch(jax.device_get(obs), mesh)
+        pstate = M.global_replicated(jax.device_get(pstate), mesh)
 
     ckpt = data_dir and CheckpointManager(
         data_dir, interval=checkpoint_interval)
@@ -161,19 +183,21 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
     while int(pstate.num_steps) < total_steps:
         key, k = jax.random.split(key)
         pool = bundle.pool_manager.pool
+        if mesh is not None:
+            pool = M.global_replicated(pool, mesh)
         pstate, ws, obs, metrics = ppo_mod.train_chunk(
             env_cfg, wcfg, ppo_cfg, model.apply, pool, pstate, ws, obs, k,
             iters_per_chunk,
             se_penalty_coef=bundle.se_penalty_schedule(),
             min_perf_fraction=bundle.exit_difficulty_schedule())
-        # Episode records gather to every host; only host 0 logs them
-        # (fleet-wide step counting stays consistent on all hosts).
-        episodes = M.gather_episodes(jax.device_get(metrics.pop("episodes")))
+        # Episode records gather to every host; only host 0 logs them.
+        # batch_size is global, so the step accounting is fleet-wide
+        # already.
+        episodes = M.gather_episodes(metrics.pop("episodes"))
         if M.is_logging_host():
             collector.observe(
-                episodes, batch_steps=steps_per_iter * iters_per_chunk
-                * jax.process_count())
-        ep_samples = metrics.pop("ep_samples")
+                episodes, batch_steps=steps_per_iter * iters_per_chunk)
+        ep_samples = M.gather_episodes(metrics.pop("ep_samples"))
         n = int(pstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
 
@@ -197,11 +221,14 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
                 m.update(se)
             bundle.training_logger.log_scalars(m, n, "ppo")
             _maybe_record_best_episode(
-                bundle, model, pstate.params, env_cfg, pool, key)
+                bundle, model, eval_params(mesh, pstate), env_cfg,
+                bundle.pool_manager.pool, key)
 
         if bundle.validation_levels and n >= next_test:
             next_test = (n // test_interval + 1) * test_interval
-            run_validation(model, pstate.params, bundle, data_dir, key)
+            if M.is_logging_host():
+                run_validation(model, eval_params(mesh, pstate), bundle,
+                               data_dir, key)
 
     if ckpt:
         ckpt.save(int(pstate.num_steps),
@@ -209,6 +236,10 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
                    "params": pstate.params, "opt_state": pstate.opt_state,
                    "num_steps": pstate.num_steps},
                   dict(bundle.training_logger.cumulative_stats))
+    if mesh is not None:
+        # Hand back host-local values so post-training evaluation (plain
+        # per-host jits) can consume the result directly.
+        pstate = jax.device_get(pstate)
     return model, pstate
 
 
@@ -216,6 +247,12 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
               data_dir=None, report_interval=4096,
               checkpoint_interval=100_000):
     """Train DQN to ``total_steps`` env steps."""
+    if jax.process_count() > 1:
+        # The replay buffer would need cross-host sharding to scale; not
+        # implemented yet (PPO is the multi-host path).
+        raise NotImplementedError(
+            "multi-host DQN is not supported; train DQN single-host or "
+            "use PPO for fleet runs")
     cfg = build_config(dqn_mod.DQNConfig, "dqn")
     env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
     key = jax.random.PRNGKey(seed)
