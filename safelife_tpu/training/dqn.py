@@ -108,16 +108,23 @@ def init_trajectories(batch, n, obs_shape, obs_dtype=jnp.uint8):
     )
 
 
-def step_trajectories(cfg, traj, buf, obs, action, reward, next_obs, done,
+def step_trajectories(cfg, traj, obs, action, reward, next_obs, done,
                       valid=None):
-    """Advance the n-step rings one step and emit replay entries.
+    """Advance the n-step rings one step; emit replay-entry candidates.
 
     Per slot (a lane, or a flattened lane x agent pair): the outgoing
-    (oldest) entry is pushed with its accumulated n-step reward; on
-    episode end the whole ring is flushed (terminal state bootstraps
-    nothing) and cleared. Steps with ``valid`` False (padded or
-    already-finished agents) enter the ring unfilled and are never
-    emitted to replay.
+    (oldest) entry emits with its accumulated n-step reward; on episode
+    end the whole ring flushes (terminal state bootstraps nothing) and
+    clears. Steps with ``valid`` False (padded or already-finished
+    agents) enter the ring unfilled and are never emitted.
+
+    Returns (traj, emissions): ``emissions`` is a dict of [K, N, ...]
+    candidate entries with a [K, N] validity plane, K = n + 2 slots in
+    arrival order. The caller accumulates emissions across a scan and
+    writes them to the replay buffer in ONE batched
+    :func:`push_emissions` — pushing inside the step would scatter into
+    the (gigabyte-scale) buffer many times per step, which measured ~20x
+    slower on the TPU.
     """
     n = cfg.multi_step
     gammas = cfg.gamma ** jnp.arange(1, n)
@@ -142,21 +149,30 @@ def step_trajectories(cfg, traj, buf, obs, action, reward, next_obs, done,
     disc = jnp.concatenate([jnp.zeros((1,)), gammas])
     new_reward = shifted_reward + reward[:, None] * disc[None, :]
 
-    # Normal emission: the outgoing entry (next_obs = current obs, done=F).
-    buf = push_masked(buf, out_obs, out_action, out_reward, obs,
-                      jnp.zeros_like(done), out_valid & ~done)
-
-    # Terminal flush: push every ring entry with done=True, then clear.
-    def flush_slot(buf, k):
-        return push_masked(
-            buf, new_obs[:, k], new_action[:, k], new_reward[:, k],
-            next_obs, jnp.ones_like(done), new_filled[:, k] & done), None
-
-    # Also the outgoing entry on done lanes (it left the ring this step).
-    buf = push_masked(buf, out_obs, out_action, out_reward, next_obs,
-                      jnp.ones_like(done), out_valid & done)
-    for k in range(n):
-        buf, _ = flush_slot(buf, k)
+    ones = jnp.ones_like(done)
+    # Arrival order: outgoing-normal, outgoing-terminal, ring flush 0..n-1
+    # (matching the sequential pushes this replaces).
+    emissions = {
+        "obs": jnp.concatenate([
+            out_obs[:, None], out_obs[:, None], new_obs], axis=1),
+        "action": jnp.concatenate([
+            out_action[:, None], out_action[:, None], new_action], axis=1),
+        "reward": jnp.concatenate([
+            out_reward[:, None], out_reward[:, None], new_reward], axis=1),
+        "next_obs": jnp.concatenate(
+            [obs[:, None], next_obs[:, None]]
+            + [next_obs[:, None]] * n, axis=1),
+        "done": jnp.concatenate(
+            [jnp.zeros_like(done)[:, None]] + [ones[:, None]] * (n + 1),
+            axis=1),
+        "valid": jnp.concatenate(
+            [(out_valid & ~done)[:, None], (out_valid & done)[:, None]]
+            + [(new_filled[:, k] & done)[:, None] for k in range(n)],
+            axis=1),
+    }
+    # [N, K, ...] -> [K, N, ...] so a scan-stacked [T, K, N, ...] flattens
+    # in arrival order.
+    emissions = {k: jnp.swapaxes(v, 0, 1) for k, v in emissions.items()}
 
     cleared = done[:, None]
     cleared_obs = done.reshape((done.shape[0],) + (1,) * (new_obs.ndim - 1))
@@ -166,7 +182,25 @@ def step_trajectories(cfg, traj, buf, obs, action, reward, next_obs, done,
         reward=jnp.where(cleared, 0.0, new_reward),
         filled=jnp.where(cleared, False, new_filled),
     )
-    return traj, buf
+    return traj, emissions
+
+
+def push_emissions(buf, emissions):
+    """Write stacked step emissions (leading axes flatten in arrival
+    order) to the replay buffer in one masked scatter."""
+    obs_shape = buf.obs.shape[1:]
+
+    def f(x, trailing=()):
+        return x.reshape((-1,) + trailing)
+
+    return push_masked(
+        buf,
+        f(emissions["obs"], obs_shape),
+        f(emissions["action"]),
+        f(emissions["reward"]),
+        f(emissions["next_obs"], obs_shape),
+        f(emissions["done"]),
+        f(emissions["valid"]))
 
 
 def td_loss(cfg, apply_fn, params, target_params, batch):
@@ -244,12 +278,11 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
             apply_fn, dstate.params, flat_obs, eps, ka)
         ws2, obs2, reward, done, info = W.step_impl(
             env_cfg, wcfg, pool, ws, actions.reshape(b, a), ke)
-        traj, replay = step_trajectories(
-            cfg, dstate.traj, dstate.replay, flat_obs, actions,
+        traj, emissions = step_trajectories(
+            cfg, dstate.traj, flat_obs, actions,
             _flat(reward), _flat(obs2), _flat(done), valid)
         dstate = dstate.replace(
-            traj=traj, replay=replay,
-            num_steps=dstate.num_steps + b)
+            traj=traj, num_steps=dstate.num_steps + b)
         ep = {
             "lane_done": info["lane_done"],
             "episode_reward": info["episode_reward"],
@@ -260,11 +293,15 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
             "reward_possible": info["reward_possible"],
             "reward_needed": info["reward_needed"],
         }
-        return (dstate, ws2, obs2), ep
+        return (dstate, ws2, obs2), (ep, emissions)
 
     keys = jax.random.split(key, n_steps + 1)
-    (dstate, ws, obs), ep_records = jax.lax.scan(
+    (dstate, ws, obs), (ep_records, emissions) = jax.lax.scan(
         body, (dstate, ws, obs), keys[:-1])
+    # One batched replay write for the whole chunk ([T, K, N] stacked
+    # emissions flatten in arrival order).
+    dstate = dstate.replace(
+        replay=push_emissions(dstate.replay, emissions))
 
     # One optimize step (masked out while the buffer is cold).
     opt = optax.adam(cfg.learning_rate)

@@ -274,7 +274,9 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
         level_meta=runner.level_metadata(
             bundle.pool_manager._host_levels))
     chunk = max(cfg.optimize_interval // batch_size, 1)
-    iters_per_chunk = 8
+    # Over a tunneled device every host round trip costs tens of ms;
+    # large chunks keep the loop device-bound.
+    iters_per_chunk = 32
     next_report = report_interval
     while int(dstate.num_steps) < total_steps:
         key, k = jax.random.split(key)

@@ -150,3 +150,56 @@ class TestMultiAgentTraining:
         w = np.asarray(traj["weight"]).reshape(3, 4, 2)
         assert (w[:, :, 0] == 1.0).all()   # real agent slots live
         assert (w[:, :, 1] == 0.0).all()   # padded slots masked
+
+
+class TestReplayAssembly:
+    """Unit semantics of the n-step replay assembly: accumulated n-step
+    rewards, terminal ring flush, validity gating, and the batched
+    emission write (one scatter per chunk, not seven per step)."""
+
+    def _run(self, rewards, dones, valid=None, n=3, gamma=0.5):
+        import jax.numpy as jnp
+        from safelife_tpu.training import dqn as D
+
+        cfg = D.DQNConfig(gamma=gamma, multi_step=n)
+        obs_shape = (2,)
+        traj = D.init_trajectories(1, n, obs_shape)
+        buf = D.init_replay(64, obs_shape)
+        ems = []
+        for t, (r, d) in enumerate(zip(rewards, dones)):
+            v = jnp.array([True if valid is None else valid[t]])
+            traj, em = D.step_trajectories(
+                cfg, traj,
+                jnp.full((1,) + obs_shape, t, jnp.uint8),
+                jnp.array([t]), jnp.array([float(r)]),
+                jnp.full((1,) + obs_shape, t + 1, jnp.uint8),
+                jnp.array([bool(d)]), v)
+            ems.append(em)
+        stacked = jax.tree.map(lambda *x: np.stack(x), *ems)
+        buf = D.push_emissions(buf, jax.tree.map(jnp.asarray, stacked))
+        k = int(buf.idx)
+        return {key: np.asarray(getattr(buf, key))[:k]
+                for key in ("obs", "action", "reward", "done")}
+
+    def test_terminal_episode_flush(self):
+        # 3 steps, episode ends at t=2; multi_step 3 means nothing
+        # leaves the ring until the terminal flush emits everything.
+        out = self._run([1.0, 2.0, 4.0], [False, False, True])
+        # Flush order: newest ring slot first (t=2), then t=1, t=0.
+        assert out["action"].tolist() == [2, 1, 0]
+        assert out["done"].tolist() == [True, True, True]
+        # n-step rewards with gamma 0.5: t=2 -> 4; t=1 -> 2 + .5*4 = 4;
+        # t=0 -> 1 + .5*2 + .25*4 = 3.
+        np.testing.assert_allclose(out["reward"], [4.0, 4.0, 3.0])
+
+    def test_ring_overflow_emits_nstep(self):
+        # 4 steps, no terminal: only t=0 falls out of the 3-slot ring.
+        out = self._run([1.0, 2.0, 4.0, 8.0], [False] * 4)
+        assert out["action"].tolist() == [0]
+        assert out["done"].tolist() == [False]
+        np.testing.assert_allclose(out["reward"], [1 + 1 + 1])  # 1+.5*2+.25*4
+
+    def test_invalid_steps_never_emit(self):
+        out = self._run([1.0, 2.0, 4.0], [False, False, True],
+                        valid=[False, False, False])
+        assert len(out["action"]) == 0
