@@ -144,7 +144,7 @@ def test_two_process_global_mesh_training(tmp_path):
          "train", str(data_dir), "-e", "append-still",
          "--steps", "1500", "--batch", "8", "--skip-benchmark",
          "-x", '{"validation.num_levels": 0}'],
-        env=env, capture_output=True, text=True, timeout=560)
+        env=env, capture_output=True, text=True, timeout=1200)
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, out[-4000:]
     # Replication invariant: every reported loss line appears once per
