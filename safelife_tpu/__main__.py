@@ -179,7 +179,8 @@ def cmd_train(args):
                 seed=args.seed or 0, data_dir=args.data_dir)
             params = state.params
         if not args.skip_benchmark and (bundle.benchmark_levels
-                                        or bundle.validation_levels):
+                                        or bundle.validation_levels) \
+                and M.is_logging_host():
             T.run_benchmark(model, params, bundle, args.data_dir,
                             jax.random.PRNGKey(args.seed or 0),
                             num_episodes=args.benchmark_episodes)

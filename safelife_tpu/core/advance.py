@@ -152,7 +152,18 @@ def advance_board_given_spawns(board, spawn_draw_lt_prob):
     -------
     new_board : int32[..., H, W]
     """
-    count, flags, cons_colors, cons_destr = neighborhood_stats(board)
+    return apply_rule(board, neighborhood_stats(board),
+                      spawn_draw_lt_prob)
+
+
+def apply_rule(board, stats, spawn_lt):
+    """The SafeLife update rule given neighborhood stats.
+
+    The single canonical implementation — the spatially-sharded advance
+    (:mod:`safelife_tpu.parallel.spatial`) applies the same function to
+    halo-slab aggregates, so a rule fix here fixes every path.
+    """
+    count, flags, cons_colors, cons_destr = stats
 
     alive = (board & C.ALIVE) != 0
     frozen = (board & C.FROZEN) != 0
@@ -171,7 +182,7 @@ def advance_board_given_spawns(board, spawn_draw_lt_prob):
         jnp.where(
             count == 3,
             newborn,
-            jnp.where(spawn_nbr & spawn_draw_lt_prob, spawned, board),
+            jnp.where(spawn_nbr & spawn_lt, spawned, board),
         ),
     )
     return jnp.where(alive, live_out, dead_out)

@@ -135,13 +135,15 @@ class GraphicalGameLoop(GameLoop):
                     self.save_recording()
                     running = False
                 elif event.type == pygame.KEYDOWN:
+                    # A message (score, help) stays on screen until the
+                    # next keypress, like the terminal frontend.
+                    self.message = ""
                     key = self._translate(event)
                     if key is not None and not self.dispatch_key(key):
                         running = False
             if running:
                 running = self.check_level_transition()
             self.draw_window()
-            self.message = ""
             clock.tick(self.fps)
             frames += 1
         pygame.quit()

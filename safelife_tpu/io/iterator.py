@@ -251,24 +251,63 @@ class LevelPoolManager:
 
         from ..parallel import mesh as M
 
+        from ..core.scoring import rows_packable
+        from ..env.state import goals_are_static
+
         la = max([pad_agents or 1] + [lv.num_agents for lv in levels])
         le = max([pad_exits or 1] + [
             int(((lv.board & (C.EXIT | C.AGENT)) == C.EXIT).sum())
             for lv in levels])
-        pads = multihost_utils.process_allgather(
-            np.asarray([la, le])).max(axis=0)
-        self._local_pool = self._pack(levels, int(pads[0]), int(pads[1]))
+        # The static pool flags must agree BEFORE packing: rows_packed
+        # decides the row_w0/row_w8 array shapes, and an allgather over
+        # shape-mismatched per-host pools would crash the fleet.
+        local_flags = [
+            all(rows_packable(np.asarray(lv.points_table))
+                for lv in levels),
+            all(goals_are_static(lv.goals) for lv in levels),
+            not any(bool(((lv.board | lv.goals) & C.SPAWNING).any())
+                    for lv in levels),
+        ]
+        agreed = multihost_utils.process_allgather(
+            np.asarray([la, le] + [int(f) for f in local_flags]))
+        pads = agreed[:, :2].max(axis=0)
+        flags = tuple(bool(f) for f in agreed[:, 2:].all(axis=0))
+        self._local_pool = self._pack(levels, int(pads[0]), int(pads[1]),
+                                      force_flags=flags)
         self.pool = M.allgather_level_pool(self._local_pool)
-        # Pin the local slice's static flags to the fleet-wide AND so
-        # future local packs stay tree-compatible with the global pool.
-        self._local_pool = self._local_pool.replace(
-            rows_packed=self.pool.rows_packed,
-            all_goals_static=self.pool.all_goals_static,
-            spawner_free=self.pool.spawner_free)
 
     def close(self):
         """Shut down the backing iterator's worker processes."""
         self.iterator.close()
+
+    def level_meta(self):
+        """Per-slot metadata keyed by *pool* index (global in multi-host
+        runs: each host contributes full metadata for its own slice and
+        allgathered names for the others, so episode records referencing
+        foreign slots still resolve to a meaningful level name — e.g.
+        for curriculum stage matching)."""
+        from ..training.runner import level_metadata
+
+        local = level_metadata(self._host_levels)
+        if not self._multihost:
+            return local
+        import jax
+        from jax.experimental import multihost_utils
+
+        width = 64
+        enc = np.zeros((len(self._host_levels), width), np.uint8)
+        for i, lv in enumerate(self._host_levels):
+            raw = (lv.name or "").encode()[:width]
+            enc[i, :len(raw)] = np.frombuffer(raw, np.uint8)
+        names = multihost_utils.process_allgather(enc).reshape(-1, width)
+        offset = jax.process_index() * len(self._host_levels)
+        meta = {}
+        for i, row in enumerate(names):
+            name = bytes(row[row != 0]).decode(errors="replace")
+            meta[i] = {"name": name or ("level-%d" % i)}
+        for i, m in local.items():
+            meta[offset + i] = m
+        return meta
 
     def refresh(self, max_new=8):
         """Pull up to ``max_new`` ready levels and swap them into the pool.

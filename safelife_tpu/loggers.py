@@ -299,14 +299,21 @@ class EpisodeCollector:
         self.level_meta = level_meta or {}
         self.side_effects_fn = side_effects_fn
 
-    def observe(self, info, batch_steps=None):
+    def observe(self, info, batch_steps=None, record_only=False):
+        """Process a batch of step records.
+
+        ``record_only`` (non-zero hosts in a fleet run) updates the
+        logger's in-memory last-episode state — which curricula watch —
+        without writing any log file or counters; host 0 owns those.
+        """
         if self.logger is None:
             return []
         tag = self.logger.episode_type
         lane_done = np.asarray(info["lane_done"])
         if batch_steps is None:
             batch_steps = int(lane_done.shape[0])
-        self.logger.cumulative_stats[tag + '_steps'] += batch_steps
+        if not record_only:
+            self.logger.cumulative_stats[tag + '_steps'] += batch_steps
 
         episodes = []
         for lane in np.nonzero(lane_done)[0]:
@@ -348,7 +355,10 @@ class EpisodeCollector:
                       for k, v in ep.items()}
             if self.side_effects_fn is not None:
                 ep["side_effects"] = self.side_effects_fn(lane, info)
-            self.logger.log_episode(ep)
+            if record_only:
+                self.logger.last_data = ep
+            else:
+                self.logger.log_episode(ep)
             episodes.append(ep)
         return episodes
 

@@ -61,31 +61,9 @@ def _advance_local(board, spawn_lt, axis_name, num_shards):
     packed, orv = advance.pack_counters(slab)
     stats = advance.stats_from_aggregates(
         _nb_sum_slab(packed), _nb_or_slab(orv))
-    return _apply_rule(board, stats, spawn_lt)
-
-
-def _apply_rule(board, stats, spawn_lt):
-    """The SafeLife update rule given neighborhood stats (identical to
-    ``advance.advance_board_given_spawns``'s rule body)."""
-    from ..core import cells as C
-
-    count, flags, cons_colors, cons_destr = stats
-    alive = (board & C.ALIVE) != 0
-    frozen = (board & C.FROZEN) != 0
-    preserved = (flags & C.PRESERVING) != 0
-    inhibited = (flags & C.INHIBITING) != 0
-    spawn_nbr = (flags & C.SPAWNING) != 0
-
-    survives = frozen | preserved | (count == 3) | (count == 4)
-    live_out = jnp.where(survives, board, 0)
-
-    newborn = C.ALIVE | cons_colors | cons_destr
-    spawned = C.ALIVE | C.DESTRUCTIBLE | cons_colors
-    dead_out = jnp.where(
-        frozen | inhibited, board,
-        jnp.where(count == 3, newborn,
-                  jnp.where(spawn_nbr & spawn_lt, spawned, board)))
-    return jnp.where(alive, live_out, dead_out)
+    # Shared canonical rule body — only the aggregation differs (halo
+    # slabs instead of toroidal rolls).
+    return advance.apply_rule(board, stats, spawn_lt)
 
 
 def advance_sharded_given_spawns(board, spawn_lt, mesh,

@@ -430,7 +430,6 @@ def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
     first_pick, later_pick = starting_region, later_regions
     for k in np.unique(regions)[2:]:
         pick = later_pick if first_pick is None else first_pick
-        first_pick = None
         region_name = fix_random_values(pick)
         if region_name not in named_regions:
             continue
@@ -438,6 +437,11 @@ def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
             regions == k, named_regions[region_name])
         board += rboard
         goals += rgoals
+        # The starting-region pick is only spent on a region that was
+        # actually populated (parity: proc_gen.py consumes it after a
+        # successful populate, so an unknown name falls through to the
+        # next region).
+        first_pick = None
 
     buffer_pick = fix_random_values(buffer_region)
     if buffer_pick in named_regions:

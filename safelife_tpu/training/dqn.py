@@ -187,20 +187,28 @@ def step_trajectories(cfg, traj, obs, action, reward, next_obs, done,
 
 def push_emissions(buf, emissions):
     """Write stacked step emissions (leading axes flatten in arrival
-    order) to the replay buffer in one masked scatter."""
+    order) to the replay buffer in one masked scatter.
+
+    A single ``push_masked`` call must not carry more valid entries than
+    the buffer capacity — wrapped slot indices inside one scatter would
+    resolve nondeterministically, breaking newest-overwrites-oldest.
+    Pushes therefore segment at the capacity (a static bound; segments
+    only arise for pathologically large chunk x slot configurations).
+    """
     obs_shape = buf.obs.shape[1:]
 
     def f(x, trailing=()):
         return x.reshape((-1,) + trailing)
 
-    return push_masked(
-        buf,
-        f(emissions["obs"], obs_shape),
-        f(emissions["action"]),
-        f(emissions["reward"]),
-        f(emissions["next_obs"], obs_shape),
-        f(emissions["done"]),
-        f(emissions["valid"]))
+    flat = (f(emissions["obs"], obs_shape), f(emissions["action"]),
+            f(emissions["reward"]), f(emissions["next_obs"], obs_shape),
+            f(emissions["done"]), f(emissions["valid"]))
+    total = flat[-1].shape[0]
+    cap = buf.capacity
+    for start in range(0, total, cap):
+        seg = tuple(x[start:start + cap] for x in flat)
+        buf = push_masked(buf, *seg)
+    return buf
 
 
 def td_loss(cfg, apply_fn, params, target_params, batch):

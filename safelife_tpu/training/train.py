@@ -173,8 +173,7 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
 
     collector = EpisodeCollector(
         bundle.training_logger,
-        level_meta=runner.level_metadata(
-            bundle.pool_manager._host_levels))
+        level_meta=bundle.pool_manager.level_meta())
     steps_per_iter = ppo_cfg.steps_per_env * batch_size
     next_report = report_interval
     next_test = test_interval
@@ -194,9 +193,11 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
         # batch_size is global, so the step accounting is fleet-wide
         # already.
         episodes = M.gather_episodes(metrics.pop("episodes"))
-        if M.is_logging_host():
-            collector.observe(
-                episodes, batch_steps=steps_per_iter * iters_per_chunk)
+        collector.observe(
+            episodes, batch_steps=steps_per_iter * iters_per_chunk,
+            # Non-zero hosts only refresh curriculum/last-episode state;
+            # the log files belong to host 0.
+            record_only=not M.is_logging_host())
         ep_samples = M.gather_episodes(metrics.pop("ep_samples"))
         n = int(pstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
@@ -216,13 +217,17 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
             logger.info(
                 "n=%d: loss=%.3g entropy=%.3f reward=%.4f (%.0f steps/s)",
                 n, m["loss"], m["entropy"], m["reward_mean"], rate)
-            se = _sampled_side_effects(ep_samples, bundle, key)
-            if se is not None:
-                m.update(se)
-            bundle.training_logger.log_scalars(m, n, "ppo")
-            _maybe_record_best_episode(
-                bundle, model, eval_params(mesh, pstate), env_cfg,
-                bundle.pool_manager.pool, key)
+            if M.is_logging_host():
+                # Scalar logging and its occupancy/EMD sampling are host
+                # 0's job; other hosts would duplicate the work and
+                # corrupt the shared log files.
+                se = _sampled_side_effects(ep_samples, bundle, key)
+                if se is not None:
+                    m.update(se)
+                bundle.training_logger.log_scalars(m, n, "ppo")
+                _maybe_record_best_episode(
+                    bundle, model, eval_params(mesh, pstate), env_cfg,
+                    bundle.pool_manager.pool, key)
 
         if bundle.validation_levels and n >= next_test:
             next_test = (n // test_interval + 1) * test_interval
@@ -271,8 +276,7 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
         data_dir, interval=checkpoint_interval)
     collector = EpisodeCollector(
         bundle.training_logger,
-        level_meta=runner.level_metadata(
-            bundle.pool_manager._host_levels))
+        level_meta=bundle.pool_manager.level_meta())
     chunk = max(cfg.optimize_interval // batch_size, 1)
     # Over a tunneled device every host round trip costs tens of ms;
     # large chunks keep the loop device-bound.
