@@ -66,6 +66,24 @@ assert out["reward"].shape == (6,)
 assert set(out["level_idx"].tolist()) == {0, 1, 2, 10, 11, 12}
 if M.is_logging_host():
     assert pid == 0
+
+# --- multihost level pool: allgathered union, global metadata ------
+from safelife_tpu.io.iterator import LevelPoolManager, \
+    SafeLifeLevelIterator
+it = SafeLifeLevelIterator(
+    "random/append-still-easy", seed=M.per_host_seed(77), num_workers=0)
+mgr = LevelPoolManager(it, pool_size=2)
+assert mgr.pool.num_levels == 4        # 2 hosts x 2 local levels
+meta = mgr.level_meta()
+assert set(meta) == {0, 1, 2, 3}
+# Host slices carry their own (distinct per-host stream) level names.
+own = [meta[2 * pid + i]["name"] for i in range(2)]
+assert all("append-still-easy" in n for n in own), own
+assert all("append-still-easy" in meta[i]["name"] for i in range(4)), meta
+# Refresh stays collective and keeps the pool replicated & global.
+mgr.refresh(1)
+assert mgr.pool.num_levels == 4
+mgr.close()
 print("WORKER_OK", pid)
 """
 
