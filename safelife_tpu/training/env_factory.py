@@ -197,6 +197,10 @@ task_types = {
     },
     'navigate': {
         'iter_class': SafeLifeLevelIterator,
+        # The reference points at a pregenerated 'training/navigation'
+        # set it never shipped (another dangling registry entry); live
+        # generation from the same spec is affordable here because the
+        # pool refreshes asynchronously off the training path.
         'train_levels': ['random/navigation'],
         'validation_levels': ['random/navigation'],
         'benchmark_levels': 'benchmarks/v1.0/navigation.npz',
