@@ -170,7 +170,10 @@ def gather_episodes(tree):
     episode axis.
     """
     if jax.process_count() == 1:
-        return tree
+        # One bulk fetch: downstream consumers index these arrays
+        # repeatedly per finished lane, and each np.asarray of a device
+        # array would be its own (tunneled) transfer.
+        return jax.device_get(tree)
     from jax.experimental import multihost_utils
 
     def gather(x):
