@@ -86,7 +86,8 @@ def main():
 
     emit("points_base_packed", timeit_scan(
         lambda b, k: b + 0 * scoring.points_base_packed(
-            b, state.level.row_w0, state.level.row_w8
+            b, jnp.take(pool.row_w0, state.level_idx, axis=0),
+            jnp.take(pool.row_w8, state.level_idx, axis=0)
         ).sum().astype(b.dtype), state.board))
 
     def full(st, k):

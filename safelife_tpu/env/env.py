@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from ..core import actions as actions_mod, advance, cells as C, scoring
 from ..core.scoring import POINTS_ON_LEVEL_EXIT
-from .state import EnvState, LaneLevel
+from .state import EnvState, lane_level
 
 DEFAULT_CHANNELS = tuple(range(16)) + (25, 26, 27)
 
@@ -150,70 +150,46 @@ def onehot_take(x, idx, num_rows):
     return out.astype(x.dtype)
 
 
-def reset_batch(cfg, pool, idx):
-    """Fresh batched state from pool levels ``idx`` (int32[B]).
+def reset_batch(cfg, pool, idx, min_perf_fraction=1.0):
+    """Fresh batched (slim) state from pool levels ``idx`` (int32[B]).
 
-    Only the slim :class:`LaneLevel` slice is kept in the carried state;
-    required_points is recomputed here from the pool's (possibly scaled —
-    see the MinPerformanceScheduler parity in env.wrappers) min_performance
-    and the packed available-points data.
+    The carried state holds only lane dynamics plus ``level_idx``; the
+    level data itself stays in the pool and is re-gathered per step
+    (:func:`~safelife_tpu.env.state.lane_level`). ``min_perf_fraction``
+    (the MinPerformanceScheduler knob) is remembered per lane so
+    required_points scale with the value active at reset time.
     """
-    g = lambda x: onehot_take(x, idx, pool.num_levels)  # noqa: E731
-    board, goals, agent_locs = g(pool.board), g(pool.goals), g(pool.agent_locs)
-    lv = LaneLevel(
-        agent_mask=g(pool.agent_mask),
-        table_flat=g(pool.table_flat),
-        init_points=g(pool.init_points),
-        required_points=scoring.required_points(
-            g(pool.min_performance), g(pool.available_points)),
-        available_points=g(pool.available_points),
-        spawn_prob=g(pool.spawn_prob),
-        goals_static=g(pool.goals_static),
-        exit_mask=g(pool.exit_mask),
-        exit_locs=g(pool.exit_locs),
-        exit_locs_valid=g(pool.exit_locs_valid),
-        row_w0=g(pool.row_w0),
-        row_w8=g(pool.row_w8),
-        rows_packed=pool.rows_packed,
-        all_goals_static=pool.all_goals_static,
-        spawner_free=pool.spawner_free,
-    )
-    base = lv.init_points  # counts == initial at reset
-    cells = scoring.agent_cells(board, agent_locs)
-    exited = (cells & (C.AGENT | C.EXIT)) == C.EXIT
-    earned = base - lv.init_points + POINTS_ON_LEVEL_EXIT * exited
-    active = ((cells & C.AGENT) != 0) & lv.agent_mask
-    ce = active & (jnp.maximum(0.0, earned) >= lv.required_points)
-    board = scoring.update_exit_colors(
-        board, agent_locs, lv.agent_mask, lv.exit_mask, ce, cells=cells)
-    # has_exited is invariant under update_exit_colors (see its docstring).
-    old_value = (base.astype(jnp.float32)
-                 + POINTS_ON_LEVEL_EXIT * exited) * lv.agent_mask
-    b, a = lv.agent_mask.shape
+    mpf = jnp.broadcast_to(
+        jnp.asarray(min_perf_fraction, jnp.float32), idx.shape)
+    # Pure gathers: the t=0 exit recoloring and initial value live
+    # precomputed in the pool (pack-time _derived_fields), so resets are
+    # cheap enough to merge unconditionally inside the hot step.
+    g = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
+    b, a = idx.shape[0], pool.num_agents
     return EnvState(
-        level=lv,
-        board=board,
-        goals=goals,
-        agent_locs=agent_locs,
+        board=g(pool.reset_board),
+        goals=g(pool.goals),
+        agent_locs=g(pool.agent_locs),
         num_steps=jnp.zeros((b,), jnp.int32),
-        old_value=old_value,
+        old_value=g(pool.reset_old_value),
         episode_reward=jnp.zeros((b, a), jnp.float32),
         episode_length=jnp.zeros((b, a), jnp.int32),
         is_active=jnp.ones((b, a), bool),
         level_idx=idx,
+        min_perf_fraction=mpf,
         rng=jnp.zeros((b,), jnp.uint32),  # unused per lane; step takes keys
     )
 
 
-def reset_impl(cfg, pool, key, batch_size):
+def reset_impl(cfg, pool, key, batch_size, min_perf_fraction=1.0):
     """Initialize a batch of lanes from the level pool.
 
     Lane i starts on level ``i mod L``; auto-reset then draws random pool
     levels. Returns (state, obs).
     """
     idx = jnp.arange(batch_size, dtype=jnp.int32) % pool.num_levels
-    state = reset_batch(cfg, pool, idx)
-    return state, _batch_obs(cfg, state)
+    state = reset_batch(cfg, pool, idx, min_perf_fraction)
+    return state, _batch_obs(cfg, pool, state)
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +214,7 @@ def _advance_physics(cfg, board, goals, goals_static, spawn_prob, key):
     return new_board, goals
 
 
-def _physics_batch(cfg, state, actions, key):
+def _physics_batch(cfg, lv, state, actions, key):
     """Batched physics phase: execute actions, advance board (and goals),
     read back agent cell values.
 
@@ -256,8 +232,8 @@ def _physics_batch(cfg, state, actions, key):
     # The goals advance compiles out entirely when every pool level has
     # provably static goals, even under cfg.goals_may_evolve; likewise the
     # spawn RNG when no level has spawners (no cell is ever spawn-eligible).
-    evolve_goals = cfg.goals_may_evolve and not state.level.all_goals_static
-    stochastic = cfg.stochastic and not state.level.spawner_free
+    evolve_goals = cfg.goals_may_evolve and not lv.all_goals_static
+    stochastic = cfg.stochastic and not lv.spawner_free
     cfg = dataclasses.replace(cfg, goals_may_evolve=evolve_goals,
                               stochastic=stochastic)
     if ops.use_fused_physics((h, w), b):
@@ -270,16 +246,16 @@ def _physics_batch(cfg, state, actions, key):
             jnp.iinfo(jnp.int32).max, jnp.int32)
         board, agent_locs, cells = ops.fused_actions_advance(
             state.board.reshape(b, h * w), state.agent_locs, actions,
-            state.level.spawn_prob, seed[0],
+            lv.spawn_prob, seed[0],
             h=h, w=w, stochastic=cfg.stochastic)
         board = board.reshape(b, h, w)
         goals = state.goals
         if evolve_goals:
             adv = ops.advance_pallas(
-                state.goals.reshape(b, h * w), state.level.spawn_prob,
+                state.goals.reshape(b, h * w), lv.spawn_prob,
                 seed[1], h=h, w=w, stochastic=cfg.stochastic,
             ).reshape(b, h, w)
-            goals = jnp.where(state.level.goals_static[:, None, None],
+            goals = jnp.where(lv.goals_static[:, None, None],
                               state.goals, adv)
         return board, goals, agent_locs, cells
 
@@ -288,15 +264,14 @@ def _physics_batch(cfg, state, actions, key):
         state.board, state.agent_locs, actions)
     board, goals = jax.vmap(
         lambda bb, gg, gs, sp, k: _advance_physics(cfg, bb, gg, gs, sp, k)
-    )(board, state.goals, state.level.goals_static,
-      state.level.spawn_prob, keys)
+    )(board, state.goals, lv.goals_static,
+      lv.spawn_prob, keys)
     cells = scoring.agent_cells(board, agent_locs)
     return board, goals, agent_locs, cells
 
 
-def _finish_one(cfg, s, board, goals, agent_locs, cells):
+def _finish_one(cfg, s, lv, board, goals, agent_locs, cells):
     """Scoring/exit/bookkeeping for one lane, given the physics results."""
-    lv = s.level
     num_steps = s.num_steps + 1
 
     if lv.rows_packed and (not cfg.goals_may_evolve
@@ -381,55 +356,51 @@ def advance_batch(cfg, boards, spawn_prob, key):
     return jax.vmap(advance.advance_board)(boards, keys, spawn_prob)
 
 
-def step_core(cfg, state, actions, key):
+def step_core(cfg, pool, state, actions, key):
     """Batched env step without auto-reset or observations.
 
     The shared backbone for :func:`step_impl`, the reward-shaping
     wrappers, and the episode runner. Returns (state, reward, done, info).
     """
-    actions = jnp.where(state.level.agent_mask, actions, 0)
+    lv = lane_level(pool, state.level_idx, state.min_perf_fraction)
+    actions = jnp.where(lv.agent_mask, actions, 0)
     board, goals, agent_locs, cells = _physics_batch(
-        cfg, state, actions, key)
+        cfg, lv, state, actions, key)
     return jax.vmap(
-        lambda s, bb, gg, ll, cc: _finish_one(cfg, s, bb, gg, ll, cc)
-    )(state, board, goals, agent_locs, cells)
+        lambda s, l, bb, gg, ll, cc: _finish_one(cfg, s, l, bb, gg, ll, cc)
+    )(state, lv, board, goals, agent_locs, cells)
 
 
-def _batch_obs(cfg, state):
+def _batch_obs(cfg, pool, state):
+    lv = lane_level(pool, state.level_idx, state.min_perf_fraction)
     return jax.vmap(
-        lambda s: get_obs(cfg, s.board, s.goals, s.agent_locs,
-                          s.level.agent_mask, s.level.exit_locs,
-                          s.level.exit_locs_valid)
-    )(state)
+        lambda s, l: get_obs(cfg, s.board, s.goals, s.agent_locs,
+                             l.agent_mask, l.exit_locs, l.exit_locs_valid)
+    )(state, lv)
 
 
-def lazy_lane_reset(lane_done, key, num_levels, fresh_fn, state):
-    """Replace finished lanes with fresh pool levels, lazily.
+def merge_lane_reset(lane_done, key, fresh_fn, state):
+    """Replace finished lanes with fresh pool levels, unconditionally.
 
-    Episodes last ~time_limit steps, so on the vast majority of steps no
-    lane finishes; the whole reset computation (pool gathers, state merge)
-    sits behind a batch-level ``lax.cond`` and costs one predicate when
-    nothing is done. Observations are built by the caller *after* the
-    merge, so they are computed once per step and never ride through the
-    cond.
+    The carried state is slim (lane dynamics + level_idx), so the merge
+    is a cheap elementwise select fused into the step's own writes.
+    Guarding it behind a ``lax.cond`` is a measured anti-optimization:
+    the cond boundary copies every operand in and out (~1.3 ms at batch
+    4096 — 75x the step itself — even with identity branches), while the
+    unconditional gather+select costs tens of microseconds.
 
     fresh_fn(idx int32[B]) must return a batched state pytree.
     """
     b = lane_done.shape[0]
-
-    def do_reset(state):
-        idx = jax.random.randint(key, (b,), 0, num_levels, jnp.int32)
-        fresh = fresh_fn(idx)
-        return jax.tree.map(
-            lambda a, f: jnp.where(
-                lane_done.reshape((b,) + (1,) * (a.ndim - 1)), f, a),
-            state, fresh)
-
-    return jax.lax.cond(jnp.any(lane_done), do_reset,
-                        lambda st: st, state)
+    idx = jax.random.randint(key, (b,), 0, 2**31 - 1, jnp.int32)
+    fresh = fresh_fn(idx)
+    return jax.tree.map(
+        lambda a, f: jnp.where(
+            lane_done.reshape((b,) + (1,) * (a.ndim - 1)), f, a),
+        state, fresh)
 
 
-def sample_episode_record(init_boards, state, info, valid=True):
+def sample_episode_record(pool, init_boards, state, info, valid=True):
     """A single finished episode's (init, final) board pair for side-effect
     telemetry.
 
@@ -446,13 +417,14 @@ def sample_episode_record(init_boards, state, info, valid=True):
     whose baseline board evolves).
     """
     lane = jnp.argmax(info["lane_done"])
+    lane_idx = jnp.take(state.level_idx, lane)
     return {
         "found": jnp.any(info["lane_done"]) & bool(valid),
         "init_board": jnp.take(init_boards, lane, axis=0),
         "final_board": jnp.take(state.board, lane, axis=0),
         "num_steps": jnp.take(state.num_steps, lane),
-        "spawn_prob": jnp.take(state.level.spawn_prob, lane),
-        "level_idx": jnp.take(state.level_idx, lane),
+        "spawn_prob": jnp.take(pool.spawn_prob, lane_idx),
+        "level_idx": lane_idx,
     }
 
 
@@ -473,13 +445,14 @@ def step_impl(cfg, pool, state, actions, key):
     reward float32[B, A], done bool[B, A].
     """
     reset_key, key = jax.random.split(key)
-    state, reward, done, info = step_core(cfg, state, actions, key)
+    state, reward, done, info = step_core(cfg, pool, state, actions, key)
     if cfg.auto_reset:
-        state = lazy_lane_reset(
-            info["lane_done"], reset_key, pool.num_levels,
-            lambda idx: reset_batch(cfg, pool, idx),
+        state = merge_lane_reset(
+            info["lane_done"], reset_key,
+            lambda r: reset_batch(cfg, pool, r % pool.num_levels,
+                                  state.min_perf_fraction),
             state)
-    obs = _batch_obs(cfg, state)
+    obs = _batch_obs(cfg, pool, state)
     return state, obs, reward, done, info
 
 

@@ -73,9 +73,7 @@ def _fresh_wrapper_fields(period, env_state):
 
 
 def reset_impl(cfg, wcfg, pool, key, batch_size, min_perf_fraction=1.0):
-    scaled = pool.replace(
-        min_performance=pool.min_performance * min_perf_fraction)
-    state, obs = E.reset(cfg, scaled, key, batch_size)
+    state, obs = E.reset(cfg, pool, key, batch_size, min_perf_fraction)
     ring, cnt, lse, base = _fresh_wrapper_fields(
         wcfg.movement_bonus_period, state)
     return WrappedState(
@@ -134,12 +132,12 @@ def _side_effect_count(wcfg, board, baseline_board, goals, exit_mask):
     return jnp.sum(~non_effects).astype(jnp.int32)
 
 
-def _shape_one(wcfg, ring, count, last_se, s, reward, done, times_up,
+def _shape_one(wcfg, ring, count, last_se, s, lv, reward, done, times_up,
                baseline, se_penalty_coef):
     """Per-lane reward shaping, given the core step's per-lane results."""
     # --- movement bonus (innermost wrapper) ---
     bonus = _movement_bonus(
-        wcfg, ring, count, s.agent_locs, s.level.agent_mask)
+        wcfg, ring, count, s.agent_locs, lv.agent_mask)
     shaped = reward + bonus
     slot = count % wcfg.movement_bonus_period
     ring = ring.at[slot].set(s.agent_locs)
@@ -151,7 +149,7 @@ def _shape_one(wcfg, ring, count, last_se, s, reward, done, times_up,
 
     # --- side-effect penalty ---
     se = _side_effect_count(
-        wcfg, s.board, baseline, s.goals, s.level.exit_mask)
+        wcfg, s.board, baseline, s.goals, lv.exit_mask)
     delta = (se - last_se).astype(jnp.float32)
     shaped = shaped - delta * se_penalty_coef
     return shaped, ring, count, se
@@ -159,9 +157,7 @@ def _shape_one(wcfg, ring, count, last_se, s, reward, done, times_up,
 
 def _fresh_wrapped(cfg, wcfg, pool, idx, min_perf_fraction):
     """Batched fresh WrappedState from pool levels ``idx`` (int32[B])."""
-    scaled = pool.replace(
-        min_performance=pool.min_performance * min_perf_fraction)
-    fresh_env = E.reset_batch(cfg, scaled, idx)
+    fresh_env = E.reset_batch(cfg, pool, idx, min_perf_fraction)
     f_ring, f_cnt, f_lse, f_base = _fresh_wrapper_fields(
         wcfg.movement_bonus_period, fresh_env)
     return WrappedState(env=fresh_env, prior_positions=f_ring,
@@ -178,29 +174,30 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
     # pre-reset state first; lanes and wrapper state reset together).
     core_cfg = dataclasses.replace(cfg, auto_reset=False)
     env2, reward, done, info = E.step_core(
-        core_cfg, state.env, actions, phys_key)
+        core_cfg, pool, state.env, actions, phys_key)
     # Episode-end SE sampling reads the episode's own start board, so
     # inaction-baseline runs (exactly the penalized spawn-task runs that
     # need safety telemetry) sample episodes too.
     info["ep_sample"] = E.sample_episode_record(
-        state.episode_start_board, env2, info)
+        pool, state.episode_start_board, env2, info)
 
     if wcfg.enabled:
         if wcfg.se_baseline == "inaction":
             base_cfg = dataclasses.replace(
                 core_cfg, stochastic=(core_cfg.stochastic
-                                      and not env2.level.spawner_free))
+                                      and not pool.spawner_free))
             baseline = E.advance_batch(
                 base_cfg, state.baseline_board,
-                env2.level.spawn_prob, se_key)
+                jnp.take(pool.spawn_prob, env2.level_idx), se_key)
         else:
             baseline = state.baseline_board
+        lv2 = E.lane_level(pool, env2.level_idx, env2.min_perf_fraction)
         shaped, ring, count, last_se = jax.vmap(
-            lambda r, c, l, s, rw, d, t, bb: _shape_one(
-                wcfg, r, c, l, s, rw, d, t, bb, se_penalty_coef)
+            lambda r, c, l, s, lvl, rw, d, t, bb: _shape_one(
+                wcfg, r, c, l, s, lvl, rw, d, t, bb, se_penalty_coef)
         )(state.prior_positions, state.prior_count,
-          state.last_side_effect, env2, reward, done, info["times_up"],
-          baseline)
+          state.last_side_effect, env2, lv2, reward, done,
+          info["times_up"], baseline)
         reward = shaped
     else:
         ring, count, last_se, baseline = (
@@ -211,12 +208,12 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
                          last_side_effect=last_se, baseline_board=baseline,
                          episode_start_board=state.episode_start_board)
     if cfg.auto_reset:
-        state = E.lazy_lane_reset(
-            info["lane_done"], reset_key, pool.num_levels,
-            lambda idx: _fresh_wrapped(cfg, wcfg, pool, idx,
-                                       min_perf_fraction),
+        state = E.merge_lane_reset(
+            info["lane_done"], reset_key,
+            lambda r: _fresh_wrapped(cfg, wcfg, pool, r % pool.num_levels,
+                                     min_perf_fraction),
             state)
-    obs = E._batch_obs(cfg, state.env)
+    obs = E._batch_obs(cfg, pool, state.env)
     return state, obs, reward, done, info
 
 

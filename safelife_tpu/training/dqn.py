@@ -281,7 +281,9 @@ def collect_and_optimize_impl(env_cfg, wcfg, cfg, apply_fn, pool, dstate,
         flat_obs = _flat(obs)
         # Only live (non-padded, not-yet-finished) agents contribute
         # replay entries; see rollout() in ppo.py for the rationale.
-        valid = _flat(ws.env.is_active & ws.env.level.agent_mask)
+        valid = _flat(ws.env.is_active
+                      & jnp.take(pool.agent_mask, ws.env.level_idx,
+                                 axis=0))
         actions = act_epsilon_greedy(
             apply_fn, dstate.params, flat_obs, eps, ka)
         ws2, obs2, reward, done, info = W.step_impl(

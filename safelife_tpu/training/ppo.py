@@ -95,7 +95,8 @@ def rollout(env_cfg, wcfg, pool, apply_fn, params, ws, obs, key, n_steps,
         # action was taken (pre-step): padded agents never, exited/dead
         # agents not after their terminal step.
         weight = _flatten_agents(
-            ws.env.is_active & ws.env.level.agent_mask
+            ws.env.is_active
+            & jnp.take(pool.agent_mask, ws.env.level_idx, axis=0)
         ).astype(jnp.float32)
         values, policy = apply_fn(params, flat_obs)
         actions = jax.random.categorical(ka, jnp.log(policy + 1e-30))

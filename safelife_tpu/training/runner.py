@@ -59,7 +59,7 @@ def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
     """
     cfg = dataclasses.replace(env_cfg, auto_reset=False)
     state = E.reset_batch(cfg, pool, level_idx)
-    obs = E._batch_obs(cfg, state)
+    obs = E._batch_obs(cfg, pool, state)
 
     b = level_idx.shape[0]
 
@@ -68,8 +68,8 @@ def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
         ka, ke = jax.random.split(k)
         actions = _policy_sample(apply_fn, params, obs, ka)
         state, reward, done, info = E.step_core(
-            cfg, state, actions, ke)
-        obs = E._batch_obs(cfg, state)
+            cfg, pool, state, actions, ke)
+        obs = E._batch_obs(cfg, pool, state)
         lane_done = info["lane_done"]
         just_done = lane_done & ~done_before
         final_board = jnp.where(just_done[:, None, None],
@@ -90,7 +90,7 @@ def run_episodes_impl(env_cfg, pool, apply_fn, params, level_idx, key,
         "episode_reward": state.episode_reward,
         "episode_length": state.episode_length,
         "success": scoring.has_exited(state.board, state.agent_locs)
-        & state.level.agent_mask,
+        & jnp.take(pool.agent_mask, state.level_idx, axis=0),
         "final_board": final_board,
         "final_steps": final_steps,
         "level_idx": level_idx,
@@ -217,8 +217,8 @@ def _record_history_impl(env_cfg, apply_fn, pool, params, state, obs,
         ka, ke = jax.random.split(k)
         actions = _policy_sample(apply_fn, params, obs, ka)
         state, reward, done, info = E.step_core(
-            cfg, state, actions, ke)
-        obs = E._batch_obs(cfg, state)
+            cfg, pool, state, actions, ke)
+        obs = E._batch_obs(cfg, pool, state)
         return (state, obs), (state.board[0], state.goals[0],
                               info["lane_done"][0],
                               info["episode_reward"][0],
@@ -248,7 +248,7 @@ def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
     """
     cfg = dataclasses.replace(env_cfg, auto_reset=False)
     state = E.reset_batch(cfg, pool, jnp.asarray([level_idx], jnp.int32))
-    obs = E._batch_obs(cfg, state)
+    obs = E._batch_obs(cfg, pool, state)
 
     (boards, goals, dones, ep_rew, ep_len, success, possible,
      needed) = jax.tree.map(
@@ -264,7 +264,7 @@ def record_episode_history(env_cfg, pool, apply_fn, params, level_idx, key,
         "board": np.concatenate([first_b, boards[:end]]).astype(np.uint16),
         "goals": np.concatenate([first_g, goals[:end]]).astype(np.uint16),
     }
-    nag = max(int(np.asarray(state.level.agent_mask[0]).sum()), 1)
+    nag = max(int(np.asarray(pool.agent_mask)[int(level_idx)].sum()), 1)
     stats = {
         "reward": float(ep_rew[last][:nag].sum()),
         "length": int(ep_len[last][:nag].max()),

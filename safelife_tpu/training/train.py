@@ -165,7 +165,7 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
                     "(%s); starting fresh", exc2)
         if restored is not None:
             ws = restored.pop("env_state", ws)
-            obs = E._batch_obs(env_cfg, ws.env)
+            obs = E._batch_obs(env_cfg, pool, ws.env)
             pstate = pstate.replace(**restored)
             if extra:
                 bundle.training_logger.cumulative_stats.update(extra)

@@ -147,8 +147,12 @@ class TestMinPerformanceScheduler:
                              min_perf_fraction=1.0)
         ws_small, _ = W.reset(cfg, wcfg, pool, jax.random.PRNGKey(0), 1,
                               min_perf_fraction=0.01)
-        full = int(np.asarray(ws_full.env.level.required_points)[0, 0])
-        small = int(np.asarray(ws_small.env.level.required_points)[0, 0])
+        lv_full = E.lane_level(pool, ws_full.env.level_idx,
+                               ws_full.env.min_perf_fraction)
+        lv_small = E.lane_level(pool, ws_small.env.level_idx,
+                                ws_small.env.min_perf_fraction)
+        full = int(np.asarray(lv_full.required_points)[0, 0])
+        small = int(np.asarray(lv_small.required_points)[0, 0])
         assert full > small >= 0
 
 
