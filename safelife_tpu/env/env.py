@@ -45,6 +45,12 @@ class EnvConfig:
     goals_may_evolve: bool = True   # False compiles out the goal advance
     stochastic: bool = True         # False: spawner-free pool, no RNG draws
     auto_reset: bool = True
+    # Emit observations flattened to uint8 [B, A, vh*vw*C] instead of
+    # [B, A, vh, vw, C]: the channel-minor layout pads to (32, 128) byte
+    # tiles on TPU (~11x physical inflation at (25, 25, 15)); the flat
+    # layout fills the lane dimension. Consumers reshape at the policy
+    # boundary (the conv relayouts its input either way).
+    flat_obs: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +119,99 @@ def get_obs(cfg, board, goals, agent_locs, agent_mask,
     shifts = jnp.array(cfg.output_channels, jnp.int32)
     chans = (views[..., None] >> shifts) & 1
     return chans.astype(jnp.uint8)
+
+
+# Byte planes of the packed view word that can be nonzero: board bits live
+# in 0..15 and goal colors in 25..27 (``gcol << 16`` with 3-bit colors at
+# 9..11), so byte 2 (bits 16..23) is identically zero and is skipped.
+_VIEW_BYTE_SHIFTS = (0, 8, 24)
+
+
+def get_obs_batch(cfg, board, goals, agent_locs, agent_mask,
+                  exit_locs, exit_valid):
+    """Whole-batch observations via one-hot matmul recentering.
+
+    Semantically identical to ``vmap(get_obs)`` (asserted in
+    tests/test_env.py) but TPU-native: the reference's wrapping-slice view
+    (``helper_utils.py:42-75``) is a dynamic gather per agent, which XLA
+    lowers to serial gather loops under vmap. Instead the wrapped window
+    ``view[r, c] = packed[(y1+r) % H, (x1+c) % W]`` is two one-hot
+    contractions ``R @ packed @ C^T`` that ride the MXU. The packed int32
+    word is split into byte planes first — byte values 0..255 are exact in
+    bfloat16, so the matmuls run at the MXU's native precision with no
+    bf16x3 (HIGHEST) passes, unlike the 16-bit-half gathers in
+    :func:`onehot_take`.
+
+    Exit perimeter projection is a one-hot select (no scatters), applied in
+    exit raster order so later exits win on collision exactly like the
+    reference's fancy-index assignment.
+
+    Inputs: board/goals int32 [B,H,W], agent_locs int32 [B,A,2],
+    agent_mask bool [B,A], exit_locs int32 [B,E,2], exit_valid bool [B,E].
+    Returns uint8 [B,A,vh,vw,C] — or flattened uint8 [B,A,vh*vw*C] when
+    ``cfg.flat_obs`` (the channel-minor (vh,vw,C)=(25,25,15) layout pads to
+    (32,128) byte tiles on TPU, a ~11x physical inflation; the flat layout
+    packs the lane dimension full) — or int32 [B,A,vh,vw] when
+    ``output_channels`` is None.
+    """
+    vh, vw = cfg.view_shape
+    h, w = board.shape[-2:]
+    gcol = goals & C.RAINBOW_COLOR
+    if cfg.remove_white_goals:
+        gcol = gcol * (gcol != C.RAINBOW_COLOR)
+    packed = board | (gcol << 16)                      # int32 [B,H,W]
+
+    center = jnp.where(agent_mask[..., None], agent_locs, 0)  # [B,A,2]
+    y1 = center[..., 0] - vh // 2                      # int32 [B,A]
+    x1 = center[..., 1] - vw // 2
+
+    # One-hot row/col selectors; views larger than the board tile it for
+    # free (several view rows map onto the same board row).
+    rowsel = ((y1[..., None, None] + jnp.arange(vh)[:, None]) % h
+              == jnp.arange(h)).astype(jnp.bfloat16)   # [B,A,vh,H]
+    colsel = ((x1[..., None, None] + jnp.arange(vw)[:, None]) % w
+              == jnp.arange(w)).astype(jnp.bfloat16)   # [B,A,vw,W]
+
+    planes = jnp.stack(
+        [(packed >> s) & 0xFF for s in _VIEW_BYTE_SHIFTS],
+        axis=1).astype(jnp.bfloat16)                   # [B,P,H,W]
+
+    # Each output element has exactly one nonzero product (one-hot lhs),
+    # so bf16 operands give the exact integer result: byte values 0..255
+    # need 8 mantissa bits, which bf16 has. The intermediate stays bf16
+    # (still exact) to halve the second matmul's operand bandwidth.
+    t = jnp.einsum("bavh,bphw->bapvw", rowsel, planes,
+                   preferred_element_type=jnp.bfloat16)
+    byts = jnp.einsum("bapvw,baxw->bapvx", t, colsel,
+                      preferred_element_type=jnp.float32)
+    byts = byts.astype(jnp.int32)                      # [B,A,P,vh,vw]
+    views = byts[:, :, 0]
+    for p, s in enumerate(_VIEW_BYTE_SHIFTS[1:], start=1):
+        views = views | (byts[:, :, p] << s)           # int32 [B,A,vh,vw]
+
+    # Exit perimeter projection, raster order (later exits win).
+    vy = jnp.arange(vh)[:, None]
+    vx = jnp.arange(vw)
+    for e in range(exit_locs.shape[1]):
+        iy, ix = exit_locs[:, e, 0], exit_locs[:, e, 1]        # [B]
+        hit = ((jnp.arange(h)[:, None] == iy[:, None, None])
+               & (jnp.arange(w) == ix[:, None, None]))         # [B,H,W]
+        val = jnp.sum(packed * hit, axis=(-2, -1))             # int32 [B]
+        jy = (iy[:, None] - center[..., 0] + h // 2) % h - h // 2
+        jx = (ix[:, None] - center[..., 1] + w // 2) % w - w // 2
+        jy = jnp.clip(jy + vh // 2, 0, vh - 1)                 # [B,A]
+        jx = jnp.clip(jx + vw // 2, 0, vw - 1)
+        mask = ((vy == jy[..., None, None]) & (vx == jx[..., None, None])
+                & exit_valid[:, e, None, None, None])          # [B,A,vh,vw]
+        views = jnp.where(mask, val[:, None, None, None], views)
+
+    if cfg.output_channels is None:
+        return views
+    shifts = jnp.array(cfg.output_channels, jnp.int32)
+    chans = ((views[..., None] >> shifts) & 1).astype(jnp.uint8)
+    if cfg.flat_obs:
+        return chans.reshape(chans.shape[:2] + (-1,))
+    return chans
 
 
 # ---------------------------------------------------------------------------
@@ -373,10 +472,8 @@ def step_core(cfg, pool, state, actions, key):
 
 def _batch_obs(cfg, pool, state):
     lv = lane_level(pool, state.level_idx, state.min_perf_fraction)
-    return jax.vmap(
-        lambda s, l: get_obs(cfg, s.board, s.goals, s.agent_locs,
-                             l.agent_mask, l.exit_locs, l.exit_locs_valid)
-    )(state, lv)
+    return get_obs_batch(cfg, state.board, state.goals, state.agent_locs,
+                         lv.agent_mask, lv.exit_locs, lv.exit_locs_valid)
 
 
 def merge_lane_reset(lane_done, key, fresh_fn, state):

@@ -161,6 +161,57 @@ class TestCraftedLevels:
         np.testing.assert_array_equal(np.asarray(obs[0]), oobs)
 
 
+class TestBatchedObs:
+    """The matmul-recenter batch path must match vmap of the scalar path
+    bit for bit on adversarial inputs (border agents, invalid agents,
+    colliding exits, views larger than the board)."""
+
+    def _random_inputs(self, seed, b=7, h=11, w=13, a=3, e=4):
+        rng = np.random.default_rng(seed)
+        board = rng.integers(0, 1 << 16, (b, h, w), dtype=np.int64)
+        goals = rng.integers(0, 1 << 16, (b, h, w), dtype=np.int64)
+        locs = np.stack([rng.integers(0, h, (b, a)),
+                         rng.integers(0, w, (b, a))], axis=-1)
+        # force border / corner agents into the mix
+        locs[:, 0] = [0, 0]
+        locs[:, 1] = [h - 1, w - 1]
+        mask = rng.random((b, a)) < 0.7
+        elocs = np.stack([rng.integers(0, h, (b, e)),
+                          rng.integers(0, w, (b, e))], axis=-1)
+        elocs[:, 1] = elocs[:, 0]  # colliding exits: later must win
+        evalid = rng.random((b, e)) < 0.7
+        return (jnp.asarray(board, jnp.int32), jnp.asarray(goals, jnp.int32),
+                jnp.asarray(locs, jnp.int32), jnp.asarray(mask),
+                jnp.asarray(elocs, jnp.int32), jnp.asarray(evalid))
+
+    def _assert_match(self, cfg, seed=0, **kw):
+        args = self._random_inputs(seed, **kw)
+        got = E.get_obs_batch(cfg, *args)
+        want = jax.vmap(lambda bo, go, lo, ma, el, ev: E.get_obs(
+            cfg, bo, go, lo, ma, el, ev))(*args)
+        if cfg.flat_obs and cfg.output_channels is not None:
+            want = want.reshape(want.shape[:2] + (-1,))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_channels(self, seed):
+        self._assert_match(E.EnvConfig(view_shape=(7, 9)), seed)
+
+    def test_raw_packed(self):
+        self._assert_match(E.EnvConfig(view_shape=(7, 9),
+                                       output_channels=None))
+
+    def test_view_larger_than_board(self):
+        self._assert_match(E.EnvConfig(view_shape=(25, 25)))
+
+    def test_keep_white_goals(self):
+        self._assert_match(E.EnvConfig(view_shape=(15, 15),
+                                       remove_white_goals=False))
+
+    def test_flat_layout(self):
+        self._assert_match(E.EnvConfig(view_shape=(7, 9), flat_obs=True))
+
+
 class TestAutoReset:
     def test_lane_restarts_on_done(self):
         lv = crafted_level(0)
