@@ -6,11 +6,31 @@ policy+value head (dense 512) or dueling Q heads (dense 256 each).
 Inputs are NHWC float32 observations (binary channels). The reference
 transposes (h, w, c) -> (c, w, h) before its NCHW convs; we transpose the
 spatial axes to match its exact geometry on non-square views.
+
+Packed observations: with ``unpack_channels`` set, the networks instead
+take the env's raw packed int32 views ([..., vh, vw], the
+``output_channels=None`` form) and unpack the binary channels at the
+input boundary. Bit-exact with feeding pre-unpacked uint8 channels
+(asserted in tests/test_models.py) — but the observation tensors that
+training *stores* (PPO trajectory, DQN replay) shrink ~6x physically on
+TPU: channel-minor uint8 [..., 25, 25, 15] pads its (25, 15) minor dims
+to (32, 128) byte tiles, while int32 [..., 25, 25] pads to (32, 128)
+words; the unpack itself fuses into the first conv's input relayout.
 """
 
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
+
+
+def unpack_obs(obs, channels):
+    """Packed int32 views [..., vh, vw] -> float32 [..., vh, vw, C].
+
+    The exact unpack the env applies under ``output_channels``
+    (env/env.py:get_obs_batch; reference safelife_env.py:136-146).
+    """
+    shifts = jnp.array(channels, jnp.int32)
+    return ((obs[..., None] >> shifts) & 1).astype(jnp.float32)
 
 
 class SafeLifeCNN(nn.Module):
@@ -48,9 +68,12 @@ class SafeLifePolicyNetwork(nn.Module):
     dense_depth: int = 1
     dense_width: int = 512
     num_actions: int = 9
+    unpack_channels: tuple = None  # set -> obs is packed int32 [.., vh, vw]
 
     @nn.compact
     def __call__(self, obs):
+        if self.unpack_channels is not None:
+            obs = unpack_obs(obs, self.unpack_channels)
         x = SafeLifeCNN()(obs.astype(jnp.float32))
         for _ in range(self.dense_depth):
             x = nn.relu(nn.Dense(self.dense_width)(x))
@@ -65,9 +88,12 @@ class SafeLifeQNetwork(nn.Module):
     (models.py:46-76), including the mean-advantage normalization."""
 
     num_actions: int = 9
+    unpack_channels: tuple = None  # set -> obs is packed int32 [.., vh, vw]
 
     @nn.compact
     def __call__(self, obs):
+        if self.unpack_channels is not None:
+            obs = unpack_obs(obs, self.unpack_channels)
         x = SafeLifeCNN()(obs.astype(jnp.float32))
         adv = nn.Dense(self.num_actions)(nn.relu(nn.Dense(256)(x)))
         val = nn.Dense(1)(nn.relu(nn.Dense(256)(x)))

@@ -212,9 +212,11 @@ def push_emissions(buf, emissions):
 
 
 def td_loss(cfg, apply_fn, params, target_params, batch):
-    q_values = apply_fn(params, batch["obs"].astype(jnp.float32))
-    next_q = apply_fn(target_params,
-                      batch["next_obs"].astype(jnp.float32))
+    # Observations go to the network in their stored dtype: the model casts
+    # unpacked uint8 channels to float itself, and packed int32 views must
+    # NOT round-trip through float32 (bits above 24 would not survive).
+    q_values = apply_fn(params, batch["obs"])
+    next_q = apply_fn(target_params, batch["next_obs"])
     next_q = jax.lax.stop_gradient(next_q)
     q_taken = jnp.take_along_axis(
         q_values, batch["action"][:, None], axis=-1)[:, 0]
@@ -242,20 +244,20 @@ class DQNState:
     num_steps: jax.Array
 
 
-def init_dqn_state(cfg, params, batch, obs_shape):
+def init_dqn_state(cfg, params, batch, obs_shape, obs_dtype=jnp.uint8):
     opt = optax.adam(cfg.learning_rate)
     return DQNState(
         params=params,
         target_params=params,
         opt_state=opt.init(params),
-        replay=init_replay(cfg.replay_size, obs_shape),
-        traj=init_trajectories(batch, cfg.multi_step, obs_shape),
+        replay=init_replay(cfg.replay_size, obs_shape, obs_dtype),
+        traj=init_trajectories(batch, cfg.multi_step, obs_shape, obs_dtype),
         num_steps=jnp.zeros((), jnp.int32),
     )
 
 
 def act_epsilon_greedy(apply_fn, params, obs, epsilon, key):
-    qvals = apply_fn(params, obs.astype(jnp.float32))
+    qvals = apply_fn(params, obs)
     greedy = jnp.argmax(qvals, axis=-1).astype(jnp.int32)
     k1, k2 = jax.random.split(key)
     random_actions = jax.random.randint(

@@ -24,6 +24,26 @@ from .global_config import build_config
 logger = logging.getLogger(__name__)
 
 
+def build_model(bundle, algo):
+    """(model, init_dummy, obs_shape, obs_dtype) for the bundle's
+    observation mode.
+
+    In packed-obs mode the env emits raw packed int32 views and the
+    network unpacks ``bundle.obs_channels`` at its input boundary
+    (models/nets.py:unpack_obs); otherwise the env emits uint8 binary
+    channels directly.
+    """
+    unpack = tuple(bundle.obs_channels) if bundle.packed_obs else None
+    cls = SafeLifePolicyNetwork if algo == "ppo" else SafeLifeQNetwork
+    model = cls(unpack_channels=unpack)
+    vh, vw = bundle.env_cfg.view_shape
+    if bundle.packed_obs:
+        return model, np.zeros((1, vh, vw), np.int32), (vh, vw), np.int32
+    n_ch = len(bundle.env_cfg.output_channels)
+    return (model, np.zeros((1, vh, vw, n_ch), np.float32),
+            (vh, vw, n_ch), np.uint8)
+
+
 def load_for_eval(algo, bundle, data_dir):
     """Load the latest checkpoint's params for benchmark-only runs.
 
@@ -32,7 +52,7 @@ def load_for_eval(algo, bundle, data_dir):
     if not data_dir:
         raise ValueError("benchmark run type needs a data_dir with "
                          "checkpoints")
-    model = SafeLifePolicyNetwork() if algo == "ppo" else SafeLifeQNetwork()
+    model = build_model(bundle, algo)[0]
     ckpt = CheckpointManager(data_dir)
     state, step = ckpt.restore_raw()
     if state is None:
@@ -110,11 +130,9 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
     env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
     key = jax.random.PRNGKey(seed)
 
-    model = SafeLifePolicyNetwork()
-    n_ch = len(env_cfg.output_channels)
+    model, dummy_obs, _, _ = build_model(bundle, "ppo")
     key, kinit, kreset = jax.random.split(key, 3)
-    params = model.init(kinit, np.zeros(
-        (1,) + env_cfg.view_shape + (n_ch,), np.float32))
+    params = model.init(kinit, dummy_obs)
     pstate = ppo_mod.init_ppo_state(ppo_cfg, params)
 
     # Multi-process runs train one global SPMD program: lanes sharded over
@@ -261,15 +279,13 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
     cfg = build_config(dqn_mod.DQNConfig, "dqn")
     env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
     key = jax.random.PRNGKey(seed)
-    model = SafeLifeQNetwork()
-    n_ch = len(env_cfg.output_channels)
-    obs_shape = env_cfg.view_shape + (n_ch,)
+    model, dummy_obs, obs_shape, obs_dtype = build_model(bundle, "dqn")
     key, kinit, kreset = jax.random.split(key, 3)
-    params = model.init(kinit, np.zeros((1,) + obs_shape, np.float32))
+    params = model.init(kinit, dummy_obs)
     pool = bundle.pool_manager.pool
     # One n-step assembly ring per flattened lane x agent slot.
     dstate = dqn_mod.init_dqn_state(
-        cfg, params, batch_size * pool.num_agents, obs_shape)
+        cfg, params, batch_size * pool.num_agents, obs_shape, obs_dtype)
     ws, obs = W.reset(env_cfg, wcfg, pool, kreset, batch_size)
 
     ckpt = data_dir and CheckpointManager(

@@ -29,13 +29,8 @@ class TestTrainingLoops:
         model, state = T.train_ppo(
             bundle, total_steps=700, batch_size=8, seed=0)
         assert int(state.num_steps) >= 700
-        # Params must have been updated away from their init.
-        params0 = model.init(
-            jax.random.PRNGKey(0),
-            np.zeros((1, 25, 25, 15), np.float32))
         leaves = jax.tree.leaves(state.params)
         assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
-        del params0
 
     def test_dqn_makes_progress(self):
         bundle = _bundle()
@@ -150,6 +145,79 @@ class TestMultiAgentTraining:
         w = np.asarray(traj["weight"]).reshape(3, 4, 2)
         assert (w[:, :, 0] == 1.0).all()   # real agent slots live
         assert (w[:, :, 1] == 0.0).all()   # padded slots masked
+
+
+class TestPackedObservations:
+    """Packed-obs mode (the default): the env hands the policy raw packed
+    int32 views and the network unpacks the binary channels at its input.
+    Must be bit-exact with training on pre-unpacked uint8 channels."""
+
+    CHANNELS = tuple(range(15))
+
+    def _pool(self):
+        from safelife_tpu.env.state import pack_levels
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+
+        it = SafeLifeLevelIterator("random/append-still", seed=9,
+                                   num_workers=0)
+        return pack_levels([next(it) for _ in range(2)])
+
+    def test_unpack_matches_env_channels(self):
+        import jax.numpy as jnp
+        from safelife_tpu.env import env as E
+        from safelife_tpu.models.nets import unpack_obs
+
+        pool = self._pool()
+        packed_cfg = E.EnvConfig(view_shape=(25, 25), output_channels=None,
+                                 time_limit=20)
+        chan_cfg = E.EnvConfig(view_shape=(25, 25),
+                               output_channels=self.CHANNELS, time_limit=20)
+        state, packed = E.reset(packed_cfg, pool, jax.random.PRNGKey(0), 4)
+        chans = E._batch_obs(chan_cfg, pool, state)
+        got = unpack_obs(jnp.asarray(packed), self.CHANNELS)
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(chans).astype(np.float32))
+
+    def test_ppo_iteration_loss_parity(self):
+        """One PPO train iteration, packed vs unpacked observations:
+        the unpack is exact, so losses must agree bitwise."""
+        from safelife_tpu.env import env as E, wrappers as W
+        from safelife_tpu.models.nets import SafeLifePolicyNetwork
+        from safelife_tpu.training import ppo as ppo_mod
+
+        pool = self._pool()
+        wcfg = W.WrapperConfig()
+        ppo_cfg = ppo_mod.PPOConfig(steps_per_env=4)
+        losses = {}
+        for mode in ("packed", "channels"):
+            cfg = E.EnvConfig(
+                view_shape=(25, 25),
+                output_channels=None if mode == "packed" else self.CHANNELS,
+                time_limit=20)
+            model = SafeLifePolicyNetwork(
+                unpack_channels=self.CHANNELS if mode == "packed" else None)
+            dummy = (np.zeros((1, 25, 25), np.int32) if mode == "packed"
+                     else np.zeros((1, 25, 25, 15), np.float32))
+            params = model.init(jax.random.PRNGKey(1), dummy)
+            pstate = ppo_mod.init_ppo_state(ppo_cfg, params)
+            ws, obs = W.reset(cfg, wcfg, pool, jax.random.PRNGKey(2), 4)
+            pstate, ws, obs, metrics = ppo_mod.train_iteration(
+                cfg, wcfg, ppo_cfg, model.apply, pool, pstate, ws, obs,
+                jax.random.PRNGKey(3))
+            losses[mode] = float(metrics["loss"])
+        assert losses["packed"] == losses["channels"], losses
+
+    def test_dqn_packed_replay_dtype(self):
+        """DQN with packed obs stores int32 views in replay, and the
+        training bundle defaults to packed mode."""
+        bundle = _bundle()
+        assert bundle.packed_obs
+        assert bundle.obs_channels is not None
+        config["dqn.optimize_interval"] = 8
+        model, state = T.train_dqn(
+            bundle, total_steps=32, batch_size=8, seed=4)
+        assert state.replay.obs.dtype == np.int32
+        assert state.replay.obs.shape[1:] == (25, 25)
 
 
 class TestReplayAssembly:
