@@ -26,9 +26,21 @@ Examples::
 """
 
 import argparse
+import ctypes
 import os
+import signal
 import subprocess
 import sys
+import time
+
+
+def _die_with_parent():
+    """preexec_fn: have the kernel SIGKILL this worker if the launcher
+    dies (even by SIGKILL, e.g. a test-harness timeout) — a lone fleet
+    worker otherwise blocks on the coordination barrier forever and
+    leaks."""
+    PR_SET_PDEATHSIG = 1
+    ctypes.CDLL(None).prctl(PR_SET_PDEATHSIG, signal.SIGKILL)
 
 
 def main():
@@ -75,10 +87,29 @@ def main():
             JAX_PROCESS_ID=str(pid),
         )
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", "safelife_tpu"] + cli, env=env))
+            [sys.executable, "-m", "safelife_tpu"] + cli, env=env,
+            preexec_fn=_die_with_parent))
+    # Poll the fleet instead of waiting serially: one worker dying (a
+    # crash, an assertion) must take the rest down, or the survivors
+    # block on the coordination barrier forever.
     rc = 0
-    for p in procs:
-        rc |= p.wait()
+    try:
+        live = list(procs)
+        while live:
+            time.sleep(0.2)
+            for p in list(live):
+                code = p.poll()
+                if code is None:
+                    continue
+                live.remove(p)
+                rc |= code
+                if code != 0:
+                    for q in live:
+                        q.terminate()
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     return rc
 
 

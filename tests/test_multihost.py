@@ -155,15 +155,24 @@ def test_two_process_global_mesh_training(tmp_path):
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     env["PYTHONPATH"] = repo
     port = _free_port()
-    proc = subprocess.run(
+    # start_new_session + killpg: a timeout must take down the whole
+    # launcher process group, not just the launcher — a surviving fleet
+    # worker blocks on the coordination barrier forever and leaks.
+    proc = subprocess.Popen(
         [sys.executable, os.path.join(repo, "scripts/launch_multihost.py"),
          "--local", "2", "--devices-per-proc", "2",
          "--port", str(port), "--",
          "train", str(data_dir), "-e", "append-still",
          "--steps", "1500", "--batch", "8", "--skip-benchmark",
          "-x", '{"validation.num_levels": 0}'],
-        env=env, capture_output=True, text=True, timeout=1200)
-    out = proc.stdout + proc.stderr
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, start_new_session=True)
+    try:
+        out, _ = proc.communicate(timeout=1200)
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, 9)
+        proc.communicate()
+        raise
     assert proc.returncode == 0, out[-4000:]
     # Replication invariant: every reported loss line appears once per
     # process with identical values.
