@@ -91,7 +91,7 @@ class SafeLifeLevelIterator:
     procgen parameters. See the module docstring for parity notes."""
 
     def __init__(self, *paths, repeat_levels=None, distinct_levels=None,
-                 num_workers=0, max_queue=10, seed=None):
+                 num_workers=0, max_queue=10, seed=None, device_batch=0):
         self.file_data = load_files(paths)
         self.level_cache = []
 
@@ -99,8 +99,13 @@ class SafeLifeLevelIterator:
             repeat_levels = any(d[1] == "procgen" for d in self.file_data)
         self.repeat_levels = repeat_levels
         self.distinct_levels = distinct_levels
-        self.num_workers = num_workers
-        self.max_queue = max_queue if num_workers > 0 else 1
+        # device_batch > 0: answer procgen requests with the device-
+        # batched annealer (procgen/batched.py), generating this many
+        # levels per device call instead of one at a time on the host.
+        self.device_batch = device_batch
+        self.num_workers = 0 if device_batch else num_workers
+        self.max_queue = max(max_queue if self.num_workers > 0 else 1,
+                             device_batch)
         self.results = None
         self.pool = None
         self.idx = 0
@@ -116,6 +121,8 @@ class SafeLifeLevelIterator:
         return self.file_data[self.idx % len(self.file_data)]
 
     def fill_queue(self):
+        if self.device_batch:
+            return self._fill_queue_batched()
         if self.results is None:
             self.results = queue.deque(maxlen=self.max_queue)
         if self.num_workers > 0 and self.pool is None:
@@ -144,6 +151,54 @@ class SafeLifeLevelIterator:
             else:
                 result = _level_from_data(*data, **kwargs)
             self.results.append((data, result))
+
+    def _fill_queue_batched(self):
+        """Refill the queue with one device-batched generation round.
+
+        Same gating/bookkeeping as the host path (distinct_levels cache,
+        repeat_levels, curriculum ``get_next_parameters``), but all
+        pending procgen requests in the round anneal in ONE call into
+        the lockstep device annealer; static entries pass through.
+        """
+        import jax
+
+        from ..procgen.batched import gen_games_batched
+
+        if self.results is None:
+            self.results = queue.deque(maxlen=self.max_queue)
+        pending = []
+        while len(self.results) + len(pending) < self.max_queue:
+            if self.distinct_levels is not None \
+                    and self.idx >= self.distinct_levels:
+                break
+            if not self.repeat_levels and self.idx >= len(self.file_data):
+                break
+            data = self.get_next_parameters()
+            if data is None:
+                break
+            self.idx += 1
+            seed = self._seed.spawn(1)[0]
+            if data[1] == "procgen":
+                pending.append((data, seed))
+            else:
+                self.results.append(
+                    (data, _level_from_data(*data, seed=seed)))
+        if not pending:
+            return
+        # A dedicated spawn seeds the device chains, independent of the
+        # per-level host streams.
+        key = jax.random.PRNGKey(
+            int(self._seed.spawn(1)[0].generate_state(1, np.uint32)[0]))
+        levels = gen_games_batched(
+            [d[2] for d, _ in pending],
+            [np.random.default_rng(s) for _, s in pending], key)
+        for (data, seed), lv in zip(pending, levels):
+            if data[0]:
+                lv.name = os.path.basename(str(data[0])) \
+                    .replace(".yaml", "").replace(".json", "")
+                if getattr(seed, "spawn_key", None):
+                    lv.name += "-e" + str(seed.spawn_key[-1])
+            self.results.append((data, lv))
 
     def close(self):
         """Terminate worker processes (idempotent).

@@ -197,8 +197,11 @@ class _RegionCanvas:
     def paint_pattern(self, params, color):
         """Anneal a still-life / oscillator layer, then freeze it.
 
-        Returns the layer's declared period (0 = inert, 1 = still,
-        p >= 2 = oscillator).
+        A generator: yields one anneal request ``(board, flags, seeds,
+        params)`` and expects ``send`` to deliver the annealed board (the
+        driver decides host vs device annealer — see
+        :func:`_drive_requests`). Returns the layer's declared period
+        (0 = inert, 1 = still, p >= 2 = oscillator).
         """
         params = dict(params)
         period = params.get('period', 1)
@@ -217,8 +220,7 @@ class _RegionCanvas:
             self.deepest_period = period
 
         before = self.board.copy()
-        self.board = _anneal_with_retries(self.board, flags, self.seeds,
-                                          **params)
+        self.board = yield (self.board, flags, self.seeds, params)
         self._freeze_pattern()
 
         painted = self.board != before
@@ -305,9 +307,35 @@ class _RegionCanvas:
         return board, goals
 
 
-def populate_region(mask, layer_params):
+def host_annealer(board, flags, seeds, **params):
+    """The default (host) handler for anneal requests."""
+    return _anneal_with_retries(board, flags, seeds, **params)
+
+
+def _drive_requests(gen, annealer):
+    """Run a request generator to completion, answering every yielded
+    anneal request with ``annealer(board, flags, seeds, **params)``.
+    Returns the generator's return value."""
+    try:
+        req = next(gen)
+        while True:
+            board, flags, seeds, params = req
+            req = gen.send(annealer(board, flags, seeds, **params))
+    except StopIteration as stop:
+        return stop.value
+
+
+def populate_region(mask, layer_params, annealer=host_annealer):
     """Fill one isolated region with layered content. Returns
     (board, goals). Layer schema parity: ``proc_gen.py:241-489``."""
+    return _drive_requests(
+        populate_region_requests(mask, layer_params), annealer)
+
+
+def populate_region_requests(mask, layer_params):
+    """Generator form of :func:`populate_region`: yields anneal requests
+    (so a batched driver can answer them on device) and returns
+    (board, goals)."""
     canvas = _RegionCanvas(mask)
 
     for layer in layer_params:
@@ -330,7 +358,8 @@ def populate_region(mask, layer_params):
 
         period = 1
         if 'pattern' in layer:
-            period = canvas.paint_pattern(layer['pattern'], color)
+            period = yield from canvas.paint_pattern(layer['pattern'],
+                                                     color)
 
         painted = canvas.board != before
         if layer.get('movable_walls', 0) > 0:
@@ -410,12 +439,20 @@ def add_agents_and_exit(board, regions, agents, agent_types):
     return agent_locs, np.array(tables), names
 
 
-def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
-             starting_region=None, later_regions=None, buffer_region=None,
-             named_regions={}, agents=['default'], agent_types={}, **etc):
+def gen_game(annealer=host_annealer, **params):
     """Generate one random level. Returns a
     :class:`~safelife_tpu.io.levels.Level`.
     Parameter schema parity: ``proc_gen.py:576-687``."""
+    return _drive_requests(gen_game_requests(**params), annealer)
+
+
+def gen_game_requests(board_shape=(25, 25), min_performance=-1,
+                      partitioning={}, starting_region=None,
+                      later_regions=None, buffer_region=None,
+                      named_regions={}, agents=['default'], agent_types={},
+                      **etc):
+    """Generator form of :func:`gen_game`: yields anneal requests,
+    returns the Level."""
     board_shape = tuple(fix_random_values(board_shape))
     min_performance = fix_random_values(min_performance)
     partitioning = fix_random_values(partitioning)
@@ -433,7 +470,7 @@ def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
         region_name = fix_random_values(pick)
         if region_name not in named_regions:
             continue
-        rboard, rgoals = populate_region(
+        rboard, rgoals = yield from populate_region_requests(
             regions == k, named_regions[region_name])
         board += rboard
         goals += rgoals
@@ -445,7 +482,7 @@ def gen_game(board_shape=(25, 25), min_performance=-1, partitioning={},
 
     buffer_pick = fix_random_values(buffer_region)
     if buffer_pick in named_regions:
-        rboard, rgoals = populate_region(
+        rboard, rgoals = yield from populate_region_requests(
             regions == 0, named_regions[buffer_pick])
         board += rboard
         goals += rgoals

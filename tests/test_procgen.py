@@ -248,3 +248,139 @@ class TestArchiveTooling:
             assert len(levels) == 100, task
         pool = pack_levels(levels[:10])
         assert pool.num_levels == 10
+
+
+class TestDeviceAnnealer:
+    """The device-batched annealer (procgen/anneal_jax.py): N lockstep
+    Metropolis chains must produce valid patterns with the same output
+    distribution as the host annealer."""
+
+    def _mask(self, h=12, w=12):
+        from safelife_tpu.procgen import anneal_jax as AJ
+        mask = np.zeros((h, w), np.int32)
+        mask[2:10, 2:10] = AJ.NEW_CELL_MASK | AJ.INCLUDE_VIOLATIONS_MASK
+        mask[1:11, 1:11] |= AJ.INCLUDE_VIOLATIONS_MASK
+        return mask
+
+    def test_still_life_invariants(self):
+        import jax
+        import jax.numpy as jnp
+        from safelife_tpu.procgen import anneal_jax as AJ
+
+        mask = self._mask()
+        n = 12
+        out, ok, fill = AJ.anneal_batch(
+            jnp.zeros((n, 12, 12), jnp.int32),
+            jnp.tile(mask, (n, 1, 1)),
+            jnp.tile((mask & 1) > 0, (n, 1, 1)),
+            jnp.full((n,), 0.2, jnp.float32),
+            jnp.full((n,), 40.0, jnp.float32),
+            jnp.full((n,), 0.5, jnp.float32),
+            jnp.full((n,), 0.0, jnp.float32),
+            jnp.tile(np.array([0, 0, 100, 100, 0, 0, 100, 100],
+                              np.float32), (n, 1)),
+            jax.random.PRNGKey(3), period=1)
+        out, ok, fill = map(np.asarray, (out, ok, fill))
+        assert ok.all()
+        assert (fill >= 0.2).all()
+        area = ((mask & 1) > 0)
+        for b in out.astype(np.int64):
+            adv = advance_board_np(b)
+            nonfrozen = (b & C.FROZEN) == 0
+            # A converged still life: the alive plane is a fixed point.
+            assert ((adv & 1) == (b & 1))[nonfrozen].all()
+            # Writes stay inside the writable area.
+            assert (b[~area] == 0).all()
+
+    def test_zero_area_lane_fails_cleanly(self):
+        import jax
+        import jax.numpy as jnp
+        from safelife_tpu.procgen import anneal_jax as AJ
+
+        mask = np.stack([self._mask(), np.zeros((12, 12), np.int32)])
+        boards = np.zeros((2, 12, 12), np.int32)
+        boards[1, 5, 5] = C.WALL  # must pass through unchanged
+        out, ok = AJ.anneal_with_retries_batched(
+            boards, mask, (mask & 1) > 0,
+            dict(min_fill=np.full(2, 0.2, np.float32),
+                 max_fill=np.full(2, 0.4, np.float32),
+                 max_iter=np.full(2, 40.0, np.float32),
+                 temperature=np.full(2, 0.5, np.float32),
+                 osc_bonus=np.zeros(2, np.float32),
+                 penalties=np.tile(np.array(
+                     [0, 0, 100, 100, 0, 0, 100, 100], np.float32), (2, 1)),
+                 period=1),
+            jax.random.PRNGKey(0))
+        out, ok = np.asarray(out), np.asarray(ok)
+        assert ok[0] and not ok[1]
+        assert out[1, 5, 5] == C.WALL and (np.delete(out[1].ravel(),
+                                                     5 * 12 + 5) == 0).all()
+
+    def test_fill_distribution_matches_host(self):
+        import jax
+        import jax.numpy as jnp
+        from safelife_tpu.procgen import anneal_jax as AJ
+
+        mask = self._mask()
+        n = 24
+        out, ok, fill = AJ.anneal_batch(
+            jnp.zeros((n, 12, 12), jnp.int32),
+            jnp.tile(mask, (n, 1, 1)),
+            jnp.tile((mask & 1) > 0, (n, 1, 1)),
+            jnp.full((n,), 0.2, jnp.float32),
+            jnp.full((n,), 40.0, jnp.float32),
+            jnp.full((n,), 0.5, jnp.float32),
+            jnp.full((n,), 0.0, jnp.float32),
+            jnp.tile(np.array([0, 0, 100, 100, 0, 0, 100, 100],
+                              np.float32), (n, 1)),
+            jax.random.PRNGKey(7), period=1)
+        fill = np.asarray(fill)[np.asarray(ok)]
+        host_fill = []
+        for s in range(24):
+            with set_rng(np.random.default_rng(100 + s)):
+                hb = P.gen_pattern(
+                    np.zeros((12, 12), np.uint16), mask, min_fill=0.2,
+                    max_iter=40, temperature=0.5, alive=(0., 0.),
+                    wall=(100., 100.), tree=(100., 100.))
+            host_fill.append(((hb != 0) & ((mask & 1) > 0)).sum() / 64)
+        # Means within 25% relative — catches a broken rule/penalty layer
+        # while robust to 24-sample noise (both sit near min_fill).
+        assert abs(fill.mean() - np.mean(host_fill)) \
+            < 0.25 * np.mean(host_fill)
+
+    def test_batched_gen_levels_distribution(self):
+        """gen_games_batched produces append-still-like levels whose
+        life/goal populations match the host generator's."""
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+
+        n = 6
+        host = SafeLifeLevelIterator("random/append-still", seed=42,
+                                     num_workers=0)
+        dev = SafeLifeLevelIterator("random/append-still", seed=42,
+                                    device_batch=n)
+        hl = [next(host) for _ in range(n)]
+        dl = [next(dev) for _ in range(n)]
+
+        def stats(levels):
+            b = np.array([lv.board for lv in levels], np.int64)
+            g = np.array([lv.goals for lv in levels], np.int64)
+            return np.array([((b & 1) > 0).mean(), (g != 0).mean(),
+                             ((b & C.FROZEN) > 0).mean()])
+
+        hs, ds = stats(hl), stats(dl)
+        np.testing.assert_allclose(ds, hs, rtol=0.5, atol=0.01)
+        for lv in dl:
+            assert len(lv.agent_locs) == 1
+            assert ((lv.board & C.EXIT) > 0).sum() == 1
+
+    def test_batched_gen_deterministic(self):
+        from safelife_tpu.io.iterator import SafeLifeLevelIterator
+
+        a = SafeLifeLevelIterator("random/append-still-easy", seed=5,
+                                  device_batch=4)
+        b = SafeLifeLevelIterator("random/append-still-easy", seed=5,
+                                  device_batch=4)
+        for _ in range(4):
+            la, lb = next(a), next(b)
+            np.testing.assert_array_equal(la.board, lb.board)
+            np.testing.assert_array_equal(la.goals, lb.goals)
