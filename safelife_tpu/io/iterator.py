@@ -84,6 +84,17 @@ def _level_from_data(file_name, data_type, data, seed=None):
 
 def _init_worker():
     signal.signal(signal.SIGINT, signal.SIG_IGN)
+    # Kernel-guaranteed reaping: if the parent dies (even by SIGKILL),
+    # this worker dies with it instead of orphaning — a leaked worker
+    # holds the parent's inherited pipes open and can wedge whatever is
+    # waiting for their EOF (observed with a test harness collecting the
+    # training CLI's output).
+    try:
+        import ctypes
+
+        ctypes.CDLL(None).prctl(1, signal.SIGKILL)  # PR_SET_PDEATHSIG
+    except Exception:
+        pass
 
 
 class SafeLifeLevelIterator:
@@ -203,10 +214,11 @@ class SafeLifeLevelIterator:
     def close(self):
         """Terminate worker processes (idempotent).
 
-        ``join`` runs under a watchdog: a wedged worker (e.g. one that
-        deadlocked at fork) is killed rather than hanging shutdown —
-        in multi-host runs a single hung worker would otherwise stall
-        the whole fleet's shutdown barrier.
+        The entire terminate+join runs under a watchdog thread — not just
+        the join: a worker wedged at fork can hang ``Pool.terminate``
+        itself (its internal join loop), and in multi-host runs a single
+        hung worker would stall the whole fleet's shutdown barrier. Any
+        worker still alive after the grace period is SIGKILLed by pid.
         """
         import signal
         import threading
@@ -214,17 +226,24 @@ class SafeLifeLevelIterator:
         pool, self.pool = self.pool, None
         if pool is None:
             return
-        try:
-            pool.terminate()
-            joiner = threading.Thread(target=pool.join, daemon=True)
-            joiner.start()
-            joiner.join(timeout=10)
-            if joiner.is_alive():
-                for worker in getattr(pool, "_pool", []):
-                    if worker.is_alive():
-                        os.kill(worker.pid, signal.SIGKILL)
-        except Exception:
-            pass
+        workers = list(getattr(pool, "_pool", []))
+
+        def _teardown():
+            try:
+                pool.terminate()
+                pool.join()
+            except Exception:
+                pass
+
+        t = threading.Thread(target=_teardown, daemon=True)
+        t.start()
+        t.join(timeout=10)
+        for worker in workers:
+            try:
+                if worker.is_alive():
+                    os.kill(worker.pid, signal.SIGKILL)
+            except Exception:
+                pass
 
     def __del__(self):
         try:

@@ -38,7 +38,11 @@ def _die_with_parent():
     """preexec_fn: have the kernel SIGKILL this worker if the launcher
     dies (even by SIGKILL, e.g. a test-harness timeout) — a lone fleet
     worker otherwise blocks on the coordination barrier forever and
-    leaks."""
+    leaks. A fresh session (setsid) additionally makes the worker a
+    group leader, so the launcher can killpg its whole subtree —
+    including procgen pool children wedged at fork that ignore the
+    worker's own teardown."""
+    os.setsid()
     PR_SET_PDEATHSIG = 1
     ctypes.CDLL(None).prctl(PR_SET_PDEATHSIG, signal.SIGKILL)
 
@@ -107,9 +111,18 @@ def main():
                     for q in live:
                         q.terminate()
     finally:
+        # Kill each worker's whole process group: pool children wedged at
+        # fork survive the worker's own teardown, and a survivor holding
+        # the launcher's stdout pipe keeps whoever collects our output
+        # waiting for EOF forever.
         for p in procs:
+            try:
+                os.killpg(p.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
             if p.poll() is None:
                 p.kill()
+            p.wait()
     return rc
 
 
