@@ -325,6 +325,13 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
 
     iter_class = task_data.get('iter_class', SafeLifeLevelIterator)
     iter_args = {'seed': training_seed, 'num_workers': procgen_workers}
+    # Opt-in device-batched level generation (procgen/batched.py): N
+    # levels anneal as N lockstep chains per device call instead of one
+    # at a time on host workers.
+    device_procgen = config.setdefault('env.device_procgen', 0)
+    if device_procgen:
+        iter_args['device_batch'] = int(device_procgen)
+        iter_args['num_workers'] = 0
     if iter_class is CurricularLevelIterator:
         iter_args['logger'] = training_logger
         iter_args['curriculum_params'] = {

@@ -207,6 +207,21 @@ class TestPackedObservations:
             losses[mode] = float(metrics["loss"])
         assert losses["packed"] == losses["channels"], losses
 
+    def test_device_procgen_bundle_trains(self):
+        """env.device_procgen routes level supply through the batched
+        device annealer; the resulting pool must train."""
+        config.clear()
+        config["env_type"] = "append-still"
+        config["env.device_procgen"] = 4
+        bundle = build_environments(config, num_envs=8, pool_size=4,
+                                    procgen_workers=0)
+        assert bundle.pool_manager.iterator.device_batch == 4
+        assert bundle.pool_manager.pool.num_levels == 4
+        model, state = T.train_ppo(
+            bundle, total_steps=64, batch_size=8, seed=3,
+            iters_per_chunk=1)
+        assert int(state.num_steps) >= 64
+
     def test_dqn_packed_replay_dtype(self):
         """DQN with packed obs stores int32 views in replay, and the
         training bundle defaults to packed mode."""
