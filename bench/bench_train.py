@@ -1,0 +1,87 @@
+"""PPO training throughput: packed int32 obs vs unpacked uint8 channels.
+
+Times `train_chunk` (rollout + GAE + 3 epochs of minibatch SGD, all under
+one jit) on the frozen v1.0 append-still pool. The packed mode stores
+raw int32 views in the trajectory and unpacks channels inside the
+network; unpacked stores the uint8 [.., 25, 25, 15] channel tensors.
+
+Run on the real chip:
+  PYTHONPATH=/root/repo:/root/.axon_site python bench/bench_train.py [batch]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+ITERS_PER_CHUNK = 8
+TIMED_CHUNKS = 5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def run_mode(packed):
+    import jax
+
+    from safelife_tpu.env import env as E, wrappers as W
+    from safelife_tpu.env.state import pack_levels
+    from safelife_tpu.io.levels import load_levels
+    from safelife_tpu.models.nets import SafeLifePolicyNetwork
+    from safelife_tpu.training import ppo
+    from safelife_tpu.training.env_factory import TRAINING_CHANNELS
+
+    pool = pack_levels(load_levels(
+        "/root/repo/safelife_tpu/levels/benchmarks/v1.0/append-still.npz"))
+    env_cfg = E.EnvConfig(
+        view_shape=(25, 25),
+        output_channels=None if packed else TRAINING_CHANNELS,
+        time_limit=1000, goals_may_evolve=False, stochastic=False)
+    wcfg = W.WrapperConfig()
+    ppo_cfg = ppo.PPOConfig()
+
+    model = SafeLifePolicyNetwork(
+        unpack_channels=TRAINING_CHANNELS if packed else None)
+    dummy = (np.zeros((1, 25, 25), np.int32) if packed
+             else np.zeros((1, 25, 25, 15), np.float32))
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    pstate = ppo.init_ppo_state(ppo_cfg, params)
+    ws, obs = W.reset(env_cfg, wcfg, pool, jax.random.PRNGKey(1), BATCH)
+
+    name = "packed" if packed else "unpacked"
+    t0 = time.perf_counter()
+    pstate, ws, obs, metrics = ppo.train_chunk(
+        env_cfg, wcfg, ppo_cfg, model.apply, pool, pstate, ws, obs,
+        jax.random.PRNGKey(2), ITERS_PER_CHUNK)
+    jax.block_until_ready(pstate)
+    log("%s compile+warmup: %.1fs" % (name, time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    for i in range(TIMED_CHUNKS):
+        pstate, ws, obs, metrics = ppo.train_chunk(
+            env_cfg, wcfg, ppo_cfg, model.apply, pool, pstate, ws, obs,
+            jax.random.PRNGKey(3 + i), ITERS_PER_CHUNK)
+    jax.block_until_ready(pstate)
+    dt = time.perf_counter() - t0
+    steps = int(pstate.num_steps)
+    rate = (ppo_cfg.steps_per_env * BATCH * ITERS_PER_CHUNK
+            * TIMED_CHUNKS) / dt
+    log("%s: %.0f train env-steps/s (loss %.4f, %d total steps)"
+        % (name, rate, float(metrics["loss"]), steps))
+    return rate
+
+
+def main():
+    import jax
+    log("device:", jax.devices()[0].device_kind, "batch:", BATCH)
+    packed = run_mode(True)
+    unpacked = run_mode(False)
+    log("packed/unpacked speedup: %.2fx" % (packed / unpacked))
+
+
+if __name__ == "__main__":
+    main()

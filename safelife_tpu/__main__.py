@@ -14,10 +14,27 @@ Subcommands (parity: reference ``safelife/__main__.py`` +
 import argparse
 import json
 import logging
+import os
 import sys
 
 
+def _pin_platform():
+    """Make the ``JAX_PLATFORMS`` environment variable authoritative.
+
+    Some site shims (e.g. tunneled-TPU images) re-register their backend
+    after clearing the environment's platform selection, so an exported
+    ``JAX_PLATFORMS=cpu`` would still initialize — and possibly block
+    on — the accelerator backend. Pinning the selection through
+    ``jax.config`` after import restores the documented env contract.
+    """
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def main(argv=None):
+    _pin_platform()
     parser = argparse.ArgumentParser(prog="safelife_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -232,9 +232,21 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
             next_report = (n // report_interval + 1) * report_interval
             m = {k2: float(v) for k2, v in metrics.items()}
             rate = n / max(time.time() - t0, 1e-9)
+            # Replication check: the L1 norm of the params. Multi-host
+            # replicas must agree on this bitwise — parameters evolve
+            # through collective (psum'd) gradients, so any drift means
+            # real trouble (lost determinism, data corruption). Scalar
+            # *metrics* like the loss are NOT held to that bar: XLA may
+            # compute a replicated scalar redundantly per host, and
+            # e.g. the CPU backend's threaded reductions are order-
+            # nondeterministic under load (~1e-3 relative wobble).
+            pcheck = float(sum(
+                np.abs(np.asarray(jax.device_get(p), np.float64)).sum()
+                for p in jax.tree.leaves(pstate.params)))
             logger.info(
-                "n=%d: loss=%.3g entropy=%.3f reward=%.4f (%.0f steps/s)",
-                n, m["loss"], m["entropy"], m["reward_mean"], rate)
+                "n=%d: loss=%.3g entropy=%.3f reward=%.4f (%.0f steps/s) "
+                "pcheck=%.17g",
+                n, m["loss"], m["entropy"], m["reward_mean"], rate, pcheck)
             if M.is_logging_host():
                 # Scalar logging and its occupancy/EMD sampling are host
                 # 0's job; other hosts would duplicate the work and

@@ -24,7 +24,10 @@ run bench python bench.py
 # 3. Device-batched procgen vs host.
 run bench_procgen python bench/bench_procgen.py 64
 
-# 4. On-TPU Pallas kernel tests.
+# 4. Training throughput: packed vs unpacked observations.
+run bench_train python bench/bench_train.py 1024
+
+# 5. On-TPU Pallas kernel tests.
 SAFELIFE_TPU_TESTS_TPU=1 run pallas python -m pytest tests/test_pallas.py -q
 
 echo "all done ($(date))" | tee -a "$OUT/queue.log"

@@ -147,8 +147,9 @@ def test_per_host_seed_single_process():
 def test_two_process_global_mesh_training(tmp_path):
     """End-to-end fleet training: 2 processes x 2 devices train ONE
     global SPMD program (lanes sharded fleet-wide, learner replicated).
-    Both processes must report identical losses (the replication
-    invariant) and the collective Orbax checkpoint must be written."""
+    Both processes must report bitwise-identical parameter checksums
+    (the replication invariant) and the collective Orbax checkpoint
+    must be written."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     data_dir = tmp_path / "run"
     env = {k: v for k, v in os.environ.items()
@@ -174,15 +175,24 @@ def test_two_process_global_mesh_training(tmp_path):
         proc.communicate()
         raise
     assert proc.returncode == 0, out[-4000:]
-    # Replication invariant: every reported loss line appears once per
-    # process with identical values.
+    # Replication invariant: every report's parameter checksum appears
+    # once per process with BITWISE-identical values — params evolve
+    # only through psum'd gradients, so any drift is real corruption.
+    # The loss scalar is deliberately NOT held to that bar: XLA's CPU
+    # backend recomputes replicated scalars per host with thread-order-
+    # nondeterministic reductions (~1e-3 relative wobble under load).
     import re
-    losses = re.findall(r"n=(\d+): loss=([\d.eE+-]+)", out)
+    reports = re.findall(
+        r"n=(\d+): loss=([\d.eE+-]+).*?pcheck=([\d.eE+-]+)", out)
     by_step = {}
-    for step, loss in losses:
-        by_step.setdefault(step, []).append(loss)
+    for step, loss, pcheck in reports:
+        by_step.setdefault(step, []).append((loss, pcheck))
     assert by_step, "no training reports in output:\n" + out[-2000:]
     for step, vals in by_step.items():
-        assert len(vals) == 2 and vals[0] == vals[1], (step, vals)
+        assert len(vals) == 2, (step, vals)
+        (loss_a, pc_a), (loss_b, pc_b) = vals
+        assert pc_a == pc_b, (step, vals)
+        assert abs(float(loss_a) - float(loss_b)) <= (
+            1e-2 * max(1.0, abs(float(loss_a)))), (step, vals)
     ckpts = os.listdir(data_dir / "checkpoints")
     assert any(c.isdigit() for c in ckpts), ckpts
