@@ -170,6 +170,14 @@ class SafeLifeLevelIterator:
         repeat_levels, curriculum ``get_next_parameters``), but all
         pending procgen requests in the round anneal in ONE call into
         the lockstep device annealer; static entries pass through.
+
+        Refills trigger only once the queue is EMPTY, and then generate
+        a whole ``device_batch`` round: topping the queue back up on
+        every ``__next__`` (the host path's behavior, where it overlaps
+        worker latency) would degenerate to single-chain device rounds
+        after the first fill — per-call batch sizes of [N, 1, 1, ...] —
+        paying a full annealer dispatch per level and never amortizing
+        across lockstep chains.
         """
         import jax
 
@@ -177,6 +185,8 @@ class SafeLifeLevelIterator:
 
         if self.results is None:
             self.results = queue.deque(maxlen=self.max_queue)
+        if self.results:
+            return
         pending = []
         while len(self.results) + len(pending) < self.max_queue:
             if self.distinct_levels is not None \

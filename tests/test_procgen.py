@@ -373,6 +373,27 @@ class TestDeviceAnnealer:
             assert len(lv.agent_locs) == 1
             assert ((lv.board & C.EXIT) > 0).sum() == 1
 
+    def test_batched_refill_whole_rounds(self, monkeypatch):
+        """The device-batched queue refills in whole device_batch rounds
+        (only when empty) — per-__next__ top-ups would degenerate to
+        single-chain annealer calls after the first fill."""
+        from safelife_tpu.io import iterator as I
+        from safelife_tpu.procgen import batched as B
+
+        sizes = []
+        real = B.gen_games_batched
+
+        def spy(param_dicts, rngs, key):
+            sizes.append(len(param_dicts))
+            return real(param_dicts, rngs, key)
+
+        monkeypatch.setattr(B, "gen_games_batched", spy)
+        it = I.SafeLifeLevelIterator("random/append-still-easy", seed=7,
+                                     device_batch=4)
+        for _ in range(8):
+            next(it)
+        assert sizes == [4, 4], sizes
+
     def test_batched_gen_deterministic(self):
         from safelife_tpu.io.iterator import SafeLifeLevelIterator
 
