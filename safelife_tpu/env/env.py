@@ -138,9 +138,9 @@ def get_obs_batch(cfg, board, goals, agent_locs, agent_mask,
     ``view[r, c] = packed[(y1+r) % H, (x1+c) % W]`` is two one-hot
     contractions ``R @ packed @ C^T`` that ride the MXU. The packed int32
     word is split into byte planes first — byte values 0..255 are exact in
-    bfloat16, so the matmuls run at the MXU's native precision with no
-    bf16x3 (HIGHEST) passes, unlike the 16-bit-half gathers in
-    :func:`onehot_take`.
+    bfloat16, so the matmuls run at the MXU's native precision; wider
+    integer payloads would need exact-but-3x-slower Precision.HIGHEST
+    (bf16x3) passes or 16-bit-half splits to survive the float round trip.
 
     Exit perimeter projection is a one-hot select (no scatters), applied in
     exit raster order so later exits win on collision exactly like the
@@ -218,37 +218,6 @@ def get_obs_batch(cfg, board, goals, agent_locs, agent_mask,
 # Reset
 
 
-def onehot_take(x, idx, num_rows):
-    """Row gather ``x[idx]`` as a one-hot float32 matmul.
-
-    XLA lowers a plain row gather with a batch-minor layout preference that
-    conflicts with the rest of the step pipeline, inserting board-sized
-    relayout copies around it (measured ~200k cycles each at batch 4096).
-    A one-hot matmul rides the MXU with standard layouts instead, and is
-    exact: each output sums exactly one 1.0*value product. Precision
-    HIGHEST is required — the TPU default rounds f32 operands to bfloat16
-    on the MXU, which corrupts bitfields; HIGHEST uses the exact bf16x3
-    decomposition. Integer payloads are gathered as two 16-bit halves so
-    arbitrary int32 values survive the float32 round trip.
-    """
-    oh = (idx[:, None] == jnp.arange(num_rows)).astype(jnp.float32)
-    out_shape = (idx.shape[0],) + x.shape[1:]
-
-    def mm(v):
-        return jnp.matmul(oh, v, precision=jax.lax.Precision.HIGHEST)
-
-    if jnp.issubdtype(x.dtype, jnp.integer):
-        u = x.reshape((num_rows, -1)).astype(jnp.uint32)
-        lo = mm((u & 0xFFFF).astype(jnp.float32)).astype(jnp.uint32)
-        hi = mm((u >> 16).astype(jnp.float32)).astype(jnp.uint32)
-        return ((hi << 16) | lo).reshape(out_shape).astype(x.dtype)
-    out = mm(x.reshape((num_rows, -1)).astype(jnp.float32))
-    out = out.reshape(out_shape)
-    if x.dtype == jnp.bool_:
-        return out > 0.5
-    return out.astype(x.dtype)
-
-
 def reset_batch(cfg, pool, idx, min_perf_fraction=1.0):
     """Fresh batched (slim) state from pool levels ``idx`` (int32[B]).
 
@@ -265,8 +234,15 @@ def reset_batch(cfg, pool, idx, min_perf_fraction=1.0):
     # cheap enough to merge unconditionally inside the hot step.
     g = lambda x: jnp.take(x, idx, axis=0)  # noqa: E731
     b, a = idx.shape[0], pool.num_agents
+    # Fraction 0 zeroes every points requirement, flipping the t=0
+    # exit recoloring (exits open immediately); any positive fraction
+    # recolors identically to the unscaled precompute (see
+    # state._derived_fields). Both variants are precomputed — the reset
+    # stays a pure gather + select.
+    board = jnp.where((mpf > 0)[:, None, None],
+                      g(pool.reset_board), g(pool.reset_board_open))
     return EnvState(
-        board=g(pool.reset_board),
+        board=board,
         goals=g(pool.goals),
         agent_locs=g(pool.agent_locs),
         num_steps=jnp.zeros((b,), jnp.int32),

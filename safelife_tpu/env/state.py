@@ -83,8 +83,11 @@ class LevelBatch:
     row_w8: jax.Array           # int32 [L, A, H, W] (or [L, A, 1, 1] dummy)
     # Precomputed t=0 reset artifacts (see _derived_fields): the board
     # after the reset exit recoloring and the initial old_value — they
-    # make per-step auto-reset pure gathers.
+    # make per-step auto-reset pure gathers. ``reset_board_open`` is the
+    # recoloring under a zero points requirement (min_perf_fraction == 0:
+    # exits open at t=0); resets select between the two per lane.
     reset_board: jax.Array      # int32 [L, H, W]
+    reset_board_open: jax.Array  # int32 [L, H, W]
     reset_old_value: jax.Array  # float32 [L, A]
     rows_packed: bool = flax.struct.field(pytree_node=False, default=False)
     all_goals_static: bool = flax.struct.field(
@@ -211,8 +214,11 @@ def _derived_fields(boards, goals, tables, mperf, agent_locs, agent_mask,
     # (earned 0 vs required) has a min_perf_fraction-independent outcome
     # for every fraction > 0 — ceil keeps positive requirements >= 1 and
     # non-positive ones non-positive — so precomputing with the unscaled
-    # min_performance is exact (the exit-difficulty schedule starts at
-    # 0.001, never 0).
+    # min_performance is exact whenever the fraction is positive. A
+    # fraction of exactly 0 (a legitimate schedule start: no points
+    # requirement, exits open at t=0) flips the test for every agent, so
+    # that case gets its own precomputed board and resets select per lane
+    # (env.fresh_state).
     cells = scoring.agent_cells(boards, agent_locs)
     exited = (cells & (C.AGENT | C.EXIT)) == C.EXIT
     earned = (init_points - init_points).astype(jnp.float32) \
@@ -221,6 +227,10 @@ def _derived_fields(boards, goals, tables, mperf, agent_locs, agent_mask,
     ce = active & (jnp.maximum(0.0, earned) >= required)
     reset_board = scoring.update_exit_colors(
         boards, agent_locs, agent_mask, exit_mask, ce, cells=cells)
+    # required == 0 for every agent: earned >= 0 always holds, so
+    # can-exit reduces to "agent is active".
+    reset_board_open = scoring.update_exit_colors(
+        boards, agent_locs, agent_mask, exit_mask, active, cells=cells)
     reset_old_value = (init_points.astype(jnp.float32)
                        + scoring.POINTS_ON_LEVEL_EXIT * exited) * agent_mask
     return dict(
@@ -233,6 +243,7 @@ def _derived_fields(boards, goals, tables, mperf, agent_locs, agent_mask,
         row_w0=row_w0,
         row_w8=row_w8,
         reset_board=reset_board,
+        reset_board_open=reset_board_open,
         reset_old_value=reset_old_value,
     )
 

@@ -364,6 +364,33 @@ class LevelPoolManager:
         """Shut down the backing iterator's worker processes."""
         self.iterator.close()
 
+    def restore_pool(self, packed):
+        """Install a checkpointed pool in place of the freshly built one.
+
+        Resumed mid-episode lanes reference level data by pool slot
+        (``EnvState.level_idx`` → :func:`~..env.env.lane_level` gathers
+        the points table / exits / spawn prob per step), so a restored
+        training state is only scored correctly against the exact pool it
+        was checkpointed with — a rebuilt pool would silently swap every
+        running episode's level metadata. Slot *names* are not persisted:
+        episode records logged after a resume carry generic slot names
+        until :meth:`refresh` rotates freshly generated levels in.
+        """
+        import jax
+
+        if not self._multihost:
+            self.pool = packed
+            return
+        # Checkpointed pools come back as globally-replicated arrays;
+        # the manager keeps host-local copies (this host's slice feeds
+        # refresh(), the full pool is re-allgathered from it).
+        packed = jax.tree.map(np.asarray, jax.device_get(packed))
+        n = len(self._host_levels)
+        off = jax.process_index() * n
+        self._local_pool = jax.tree.map(
+            lambda x: x[off:off + n], packed)
+        self.pool = packed
+
     def level_meta(self):
         """Per-slot metadata keyed by *pool* index (global in multi-host
         runs: each host contributes full metadata for its own slice and

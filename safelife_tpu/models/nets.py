@@ -11,7 +11,7 @@ Packed observations: with ``unpack_channels`` set, the networks instead
 take the env's raw packed int32 views ([..., vh, vw], the
 ``output_channels=None`` form) and unpack the binary channels at the
 input boundary. Bit-exact with feeding pre-unpacked uint8 channels
-(asserted in tests/test_models.py) — but the observation tensors that
+(asserted in tests/test_training.py) — but the observation tensors that
 training *stores* (PPO trajectory, DQN replay) shrink ~6x physically on
 TPU: channel-minor uint8 [..., 25, 25, 15] pads its (25, 15) minor dims
 to (32, 128) byte tiles, while int32 [..., 25, 25] pads to (32, 128)

@@ -157,37 +157,52 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
     ckpt = data_dir and CheckpointManager(
         data_dir, interval=checkpoint_interval)
     if ckpt:
-        # Full resume includes the env-batch state (mid-episode boards) —
-        # possible here because env state is just arrays, unlike the
-        # reference, whose resume restarts every episode.
+        # Full resume includes the env-batch state (mid-episode boards)
+        # AND the level pool those lanes index into — possible here
+        # because both are just arrays, unlike the reference, whose
+        # resume restarts every episode. Restoring the env state without
+        # its pool would score every resumed mid-episode lane against
+        # whatever levels the fresh iterator happened to generate.
+        pool_t = M.global_replicated(jax.device_get(pool), mesh) \
+            if mesh is not None else pool
+        learner_t = {"params": pstate.params, "opt_state": pstate.opt_state,
+                     "num_steps": pstate.num_steps}
+        # Newest format first; older formats (pre-pool, pre-env-state)
+        # surface as tree-structure/shape mismatches and fall through to
+        # the next template. Only those error types are caught — anything
+        # else (corrupt checkpoint, orbax version, permissions) must not
+        # silently discard training progress and propagates.
         restored = extra = step = None
-        try:
-            restored, extra, step = ckpt.restore(
-                {"params": pstate.params, "opt_state": pstate.opt_state,
-                 "num_steps": pstate.num_steps, "env_state": ws})
-        except (ValueError, KeyError, TypeError) as exc:
-            # Tree-structure/shape mismatch: expected for checkpoints
-            # written before env-batch state was included. Anything else
-            # (corrupt checkpoint, orbax version, permissions) must not
-            # silently discard training progress — re-raise it.
-            logger.info("full env-state restore failed (%s); trying "
-                        "params-only checkpoint format", exc)
-            try:  # older checkpoints without env state
-                restored, extra, step = ckpt.restore(
-                    {"params": pstate.params,
-                     "opt_state": pstate.opt_state,
-                     "num_steps": pstate.num_steps})
-            except (ValueError, KeyError, TypeError) as exc2:
-                logger.warning(
-                    "checkpoint restore failed with structure mismatch "
-                    "(%s); starting fresh", exc2)
+        templates = (dict(learner_t, env_state=ws, pool=pool_t),
+                     dict(learner_t, env_state=ws),
+                     learner_t)
+        for i, tmpl in enumerate(templates):
+            try:
+                restored, extra, step = ckpt.restore(tmpl)
+                break
+            except (ValueError, KeyError, TypeError) as exc:
+                if i + 1 < len(templates):
+                    logger.info("restore failed (%s); trying an older "
+                                "checkpoint format", exc)
+                else:
+                    logger.warning(
+                        "checkpoint restore failed with structure "
+                        "mismatch in every known format (%s); starting "
+                        "fresh", exc)
         if restored is not None:
+            rpool = restored.pop("pool", None)
+            if rpool is not None:
+                bundle.pool_manager.restore_pool(rpool)
             ws = restored.pop("env_state", ws)
-            obs = E._batch_obs(env_cfg, pool, ws.env)
+            obs = E._batch_obs(env_cfg, rpool if rpool is not None
+                               else pool, ws.env)
             pstate = pstate.replace(**restored)
             if extra:
                 bundle.training_logger.cumulative_stats.update(extra)
-            logger.info("restored checkpoint at step %s", step)
+            logger.info("restored checkpoint at step %s%s", step,
+                        "" if rpool is not None else
+                        " (old format: no level pool; resumed mid-episode"
+                        " lanes score against freshly generated levels)")
 
     collector = EpisodeCollector(
         bundle.training_logger,
@@ -223,9 +238,13 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
         bundle.pool_manager.refresh(pool_refresh)
 
         if ckpt:
+            # `pool` is the pool this chunk's env state was stepped
+            # against (pre-refresh) — the pair must stay coherent so a
+            # resume scores mid-episode lanes against their own levels.
             ckpt.save_if_needed(
                 n, {"params": pstate.params, "opt_state": pstate.opt_state,
-                    "num_steps": pstate.num_steps, "env_state": ws},
+                    "num_steps": pstate.num_steps, "env_state": ws,
+                    "pool": pool},
                 dict(bundle.training_logger.cumulative_stats))
 
         if n >= next_report:
@@ -240,9 +259,14 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
             # compute a replicated scalar redundantly per host, and
             # e.g. the CPU backend's threaded reductions are order-
             # nondeterministic under load (~1e-3 relative wobble).
+            # One bulk fetch (per-leaf device_gets each pay the tunnel
+            # round trip); the float64 sum stays on the host because it
+            # must be bitwise host-independent, and XLA:CPU's threaded
+            # reductions are order-nondeterministic under load.
+            host_params = jax.device_get(pstate.params)
             pcheck = float(sum(
-                np.abs(np.asarray(jax.device_get(p), np.float64)).sum()
-                for p in jax.tree.leaves(pstate.params)))
+                np.abs(np.asarray(p, np.float64)).sum()
+                for p in jax.tree.leaves(host_params)))
             logger.info(
                 "n=%d: loss=%.3g entropy=%.3f reward=%.4f (%.0f steps/s) "
                 "pcheck=%.17g",
@@ -266,8 +290,13 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
                                data_dir, key)
 
     if ckpt:
+        if mesh is not None:
+            # The loop may not have run (already past total_steps on
+            # restore), leaving host-local pool arrays; orbax collective
+            # saves need global ones.
+            pool = M.global_replicated(jax.device_get(pool), mesh)
         ckpt.save(int(pstate.num_steps),
-                  {"env_state": ws,
+                  {"env_state": ws, "pool": pool,
                    "params": pstate.params, "opt_state": pstate.opt_state,
                    "num_steps": pstate.num_steps},
                   dict(bundle.training_logger.cumulative_stats))
@@ -302,6 +331,44 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
 
     ckpt = data_dir and CheckpointManager(
         data_dir, interval=checkpoint_interval)
+    if ckpt:
+        # Resume learner + env batch + the level pool the env lanes
+        # index into. The replay/trajectory buffers are deliberately NOT
+        # checkpointed (they are capacity x obs — most of a checkpoint's
+        # weight for state that refills within one optimize interval);
+        # a resumed run re-warms the buffer before optimizing resumes.
+        learner_t = {"params": dstate.params,
+                     "target_params": dstate.target_params,
+                     "opt_state": dstate.opt_state,
+                     "num_steps": dstate.num_steps}
+        restored = step = None
+        templates = (dict(learner_t, env_state=ws, pool=pool),
+                     learner_t,
+                     {k: learner_t[k] for k in
+                      ("params", "target_params", "num_steps")})
+        for i, tmpl in enumerate(templates):
+            try:
+                restored, _, step = ckpt.restore(tmpl)
+                break
+            except (ValueError, KeyError, TypeError) as exc:
+                if i + 1 < len(templates):
+                    logger.info("restore failed (%s); trying an older "
+                                "checkpoint format", exc)
+                else:
+                    logger.warning(
+                        "checkpoint restore failed with structure "
+                        "mismatch in every known format (%s); starting "
+                        "fresh", exc)
+        if restored is not None:
+            rpool = restored.pop("pool", None)
+            if rpool is not None:
+                bundle.pool_manager.restore_pool(rpool)
+                pool = bundle.pool_manager.pool
+            if "env_state" in restored:
+                ws = restored.pop("env_state")
+                obs = E._batch_obs(env_cfg, pool, ws.env)
+            dstate = dstate.replace(**restored)
+            logger.info("restored checkpoint at step %s", step)
     collector = EpisodeCollector(
         bundle.training_logger,
         level_meta=bundle.pool_manager.level_meta())
@@ -312,8 +379,9 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
     next_report = report_interval
     while int(dstate.num_steps) < total_steps:
         key, k = jax.random.split(key)
+        pool = bundle.pool_manager.pool
         dstate, ws, obs, metrics = dqn_mod.train_chunk(
-            env_cfg, wcfg, cfg, model.apply, bundle.pool_manager.pool,
+            env_cfg, wcfg, cfg, model.apply, pool,
             dstate, ws, obs, k, chunk, iters_per_chunk)
         episodes = M.gather_episodes(jax.device_get(metrics.pop("episodes")))
         if M.is_logging_host():
@@ -327,7 +395,13 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
             ckpt.save_if_needed(
                 n, {"params": dstate.params,
                     "target_params": dstate.target_params,
-                    "num_steps": dstate.num_steps})
+                    "opt_state": dstate.opt_state,
+                    "num_steps": dstate.num_steps,
+                    # The chunk's own (pre-refresh) pool: the saved env
+                    # state's lanes must resume against the levels they
+                    # are mid-episode on.
+                    "env_state": ws,
+                    "pool": pool})
         if n >= next_report:
             next_report = (n // report_interval + 1) * report_interval
             m = {k2: float(v) for k2, v in metrics.items()}

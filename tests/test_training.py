@@ -56,6 +56,38 @@ class TestTrainingLoops:
             data_dir=str(tmp_path), checkpoint_interval=160)
         assert int(state2.num_steps) > n1
 
+    def test_resume_restores_the_level_pool(self, tmp_path):
+        """Mid-episode lanes reference levels by pool slot; a resume must
+        reinstall the checkpointed pool, not score resumed episodes
+        against whatever the fresh iterator generated."""
+        bundle = _bundle(tmp_path)
+        model, state = T.train_ppo(
+            bundle, total_steps=300, batch_size=8, seed=0,
+            data_dir=str(tmp_path), checkpoint_interval=160)
+        n1 = int(state.num_steps)
+
+        from safelife_tpu.training.checkpoints import CheckpointManager
+        saved, _ = CheckpointManager(str(tmp_path)).restore_raw()
+        assert "pool" in saved and "env_state" in saved
+
+        # A different level-stream seed: the fresh pool MUST differ, so
+        # only a genuine restore can make the boards match.
+        config.clear()
+        config["env_type"] = "append-still"
+        config["seed"] = 777
+        bundle2 = build_environments(
+            config, data_dir=str(tmp_path), num_envs=8, pool_size=4,
+            procgen_workers=0)
+        fresh = np.asarray(bundle2.pool_manager.pool.board)
+        assert not np.array_equal(fresh, np.asarray(saved["pool"]["board"]))
+        # total_steps == n1: restore runs, the training loop doesn't, so
+        # the manager pool is exactly what the restore installed.
+        T.train_ppo(bundle2, total_steps=n1, batch_size=8, seed=0,
+                    data_dir=str(tmp_path), checkpoint_interval=160)
+        np.testing.assert_array_equal(
+            np.asarray(bundle2.pool_manager.pool.board),
+            np.asarray(saved["pool"]["board"]))
+
 
 class TestQNetworkEvaluation:
     def test_benchmark_with_q_network(self):

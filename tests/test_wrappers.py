@@ -155,6 +155,43 @@ class TestMinPerformanceScheduler:
         small = int(np.asarray(lv_small.required_points)[0, 0])
         assert full > small >= 0
 
+    def test_fraction_zero_opens_exits_at_reset(self):
+        """A schedule fraction of exactly 0 zeroes the points requirement,
+        so exits must be recolored open at t=0 — the precomputed
+        reset_board (exact for every positive fraction) must not leak in.
+        Ground truth: the same level packed with min_performance=0."""
+        wcfg = W.WrapperConfig(movement_bonus=0.0, exit_bonus=0.0)
+        board = np.zeros((12, 12), np.int64)
+        goals = np.zeros((12, 12), np.int64)
+        goals[2:6, 2:6] = C.COLOR_B
+        board[6, 6] = C.PLAYER
+        board[1, 1] = C.LEVEL_EXIT
+
+        def mk(mperf):
+            lv = Level(
+                board=board.astype(np.int32), goals=goals.astype(np.int32),
+                agent_locs=np.array([[6, 6]]), agent_names=np.array(["a"]),
+                points_table=np.tile(DEFAULT_POINTS_TABLE, (1, 1, 1)),
+                min_performance=mperf, spawn_prob=0.3, name="goalful")
+            return pack_levels([lv])
+
+        cfg = E.EnvConfig(view_shape=(9, 9), time_limit=50,
+                          goals_may_evolve=False, auto_reset=False)
+        pool = mk(0.8)
+        ws_zero, _ = W.reset(cfg, wcfg, pool, jax.random.PRNGKey(0), 1,
+                             min_perf_fraction=0.0)
+        ws_full, _ = W.reset(cfg, wcfg, pool, jax.random.PRNGKey(0), 1,
+                             min_perf_fraction=1.0)
+        # The closed-exit recoloring must differ from the open one
+        # somewhere (the exit cell), and the fraction-0 reset must match
+        # the requirement-free level bit for bit.
+        assert not np.array_equal(np.asarray(ws_zero.env.board),
+                                  np.asarray(ws_full.env.board))
+        truth, _ = W.reset(cfg, wcfg, mk(0.0), jax.random.PRNGKey(0), 1,
+                           min_perf_fraction=1.0)
+        np.testing.assert_array_equal(np.asarray(ws_zero.env.board),
+                                      np.asarray(truth.env.board))
+
 
 class TestInactionBaselineEpisodeSampling:
     """Inaction-baseline training runs must still produce valid
