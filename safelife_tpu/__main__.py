@@ -119,6 +119,39 @@ def main(argv=None):
             os.path.dirname(__file__)), "bench.py"), run_name="__main__")
 
 
+def _confirm_data_dir(data_dir):
+    """Prompt before reusing an existing training directory.
+
+    Parity: start-training.py:126-140 — overwrite / append / abort, with
+    ``tmp*``-named directories auto-overwritten. Non-interactive runs
+    (no tty: schedulers, tests, multi-host workers) append, which is the
+    safe default: checkpoints resume and logs accumulate.
+    """
+    import shutil
+
+    data_dir = os.path.realpath(data_dir)
+    if not os.path.exists(data_dir):
+        return
+    if os.path.basename(data_dir).startswith("tmp"):
+        response = "overwrite"
+    elif not sys.stdin.isatty():
+        logging.getLogger(__name__).info(
+            "'%s' already exists; appending to it (no tty to ask)",
+            data_dir)
+        return
+    else:
+        print("The directory '%s' already exists." % data_dir)
+        response = None
+        while response not in ("overwrite", "append", "abort"):
+            response = input("(overwrite / append / abort) > ").strip()
+    if response == "overwrite":
+        print("Overwriting old data.")
+        shutil.rmtree(data_dir)
+    elif response == "abort":
+        print("Aborting.")
+        sys.exit(0)
+
+
 def cmd_train(args):
     import jax
 
@@ -127,6 +160,9 @@ def cmd_train(args):
     from .training.env_factory import build_environments
     from .training.global_config import config
     from .training.logging_setup import setup_logging
+
+    if args.data_dir and args.run_type == "train":
+        _confirm_data_dir(args.data_dir)
 
     # Multi-host runs join the coordinator before any device use; a
     # documented no-op without a configured coordinator.

@@ -159,6 +159,34 @@ class TestCLI:
         assert r.returncode == 0, r.stderr
         assert "append-still" in r.stdout
 
+    def test_existing_data_dir_prompt(self, tmp_path, monkeypatch):
+        """Reusing a data_dir: tmp*-named dirs auto-overwrite, a tty
+        prompt honors overwrite/append/abort, and non-tty runs append
+        (parity: start-training.py:126-140)."""
+        from safelife_tpu.__main__ import _confirm_data_dir
+
+        d = tmp_path / "tmp-job"
+        d.mkdir()
+        (d / "stale.log").write_text("x")
+        _confirm_data_dir(str(d))  # tmp* => silent overwrite
+        assert not d.exists()
+
+        d = tmp_path / "job"
+        d.mkdir()
+        (d / "ckpt").write_text("x")
+        monkeypatch.setattr("sys.stdin.isatty", lambda: False)
+        _confirm_data_dir(str(d))  # no tty => append (keep contents)
+        assert (d / "ckpt").exists()
+
+        monkeypatch.setattr("sys.stdin.isatty", lambda: True)
+        monkeypatch.setattr("builtins.input", lambda *_: "abort")
+        with pytest.raises(SystemExit):
+            _confirm_data_dir(str(d))
+        assert (d / "ckpt").exists()
+        monkeypatch.setattr("builtins.input", lambda *_: "overwrite")
+        _confirm_data_dir(str(d))
+        assert not d.exists()
+
     def test_new_and_render(self, tmp_path):
         out = str(tmp_path / "gen.npz")
         r = self.run_cli("new", "random/prune-still", out, "--seed", "2")
