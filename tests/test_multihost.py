@@ -196,3 +196,35 @@ def test_two_process_global_mesh_training(tmp_path):
             1e-2 * max(1.0, abs(float(loss_a)))), (step, vals)
     ckpts = os.listdir(data_dir / "checkpoints")
     assert any(c.isdigit() for c in ckpts), ckpts
+
+    # Resume the fleet from the collective checkpoint: every process
+    # must restore (incl. the globally-replicated level pool, which the
+    # pool manager slices back to host-local arrays) and the replication
+    # invariant must hold across the resumed reports too.
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "scripts/launch_multihost.py"),
+         "--local", "2", "--devices-per-proc", "2",
+         "--port", str(port), "--",
+         "train", str(data_dir), "-e", "append-still",
+         "--steps", "3000", "--batch", "8", "--skip-benchmark",
+         "-x", '{"validation.num_levels": 0}'],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, start_new_session=True)
+    try:
+        out, _ = proc.communicate(timeout=1200)
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, 9)
+        proc.communicate()
+        raise
+    assert proc.returncode == 0, out[-4000:]
+    restores = re.findall(r"restored checkpoint at step (\d+)", out)
+    assert len(restores) == 2, out[-2000:]  # one per process
+    assert "old format" not in out  # the pool came back with it
+    reports = re.findall(r"n=(\d+):.*?pcheck=([\d.eE+-]+)", out)
+    by_step = {}
+    for step, pcheck in reports:
+        by_step.setdefault(step, []).append(pcheck)
+    assert by_step, "no training reports in output:\n" + out[-2000:]
+    for step, vals in by_step.items():
+        assert len(vals) == 2 and vals[0] == vals[1], (step, vals)
