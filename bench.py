@@ -23,9 +23,11 @@ import time
 import numpy as np
 
 REFERENCE_BASELINE_STEPS_PER_S = 1.0e4
-BATCH = 4096
-SCAN_STEPS = 100
-TIMED_REPS = 20
+# Overridable for smoke tests on slow backends (e.g. CPU); the defaults
+# are the headline configuration.
+BATCH = int(os.environ.get("SAFELIFE_TPU_BENCH_BATCH", 4096))
+SCAN_STEPS = int(os.environ.get("SAFELIFE_TPU_BENCH_SCAN", 100))
+TIMED_REPS = int(os.environ.get("SAFELIFE_TPU_BENCH_REPS", 20))
 
 
 def log(*args):
@@ -51,6 +53,14 @@ def load_pool():
 
 def main():
     import jax
+
+    # Honor an explicit JAX_PLATFORMS even under site shims that
+    # re-register their accelerator backend after clearing the env
+    # selection (same workaround as safelife_tpu.__main__._pin_platform);
+    # otherwise a CPU smoke run can block on an unreachable device.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     import jax.numpy as jnp
 
     from safelife_tpu.env import env as E
@@ -113,8 +123,8 @@ def main():
         % (rate, steps, dt, jax.devices()[0].device_kind))
 
     print(json.dumps({
-        "metric": "env-steps/s/chip (append-still, batch 4096, "
-                  "full 15-channel 25x25 obs)",
+        "metric": "env-steps/s/chip (append-still, batch %d, "
+                  "full 15-channel 25x25 obs)" % BATCH,
         "value": round(rate),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / REFERENCE_BASELINE_STEPS_PER_S, 2),
