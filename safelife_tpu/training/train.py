@@ -408,6 +408,16 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
             logger.info("n=%d: loss=%.3g eps=%.3f q=%.3g", n,
                         m["loss"], m["epsilon"], m["q_model_mean"])
             bundle.training_logger.log_scalars(m, n, "dqn")
+    if ckpt:
+        # Terminal state regardless of interval alignment (same contract
+        # as PPO); `pool` is the last chunk's pre-refresh pool, coherent
+        # with ws like the in-loop saves.
+        ckpt.save(int(dstate.num_steps),
+                  {"params": dstate.params,
+                   "target_params": dstate.target_params,
+                   "opt_state": dstate.opt_state,
+                   "num_steps": dstate.num_steps,
+                   "env_state": ws, "pool": pool})
     return model, dstate
 
 

@@ -56,6 +56,29 @@ class TestTrainingLoops:
             data_dir=str(tmp_path), checkpoint_interval=160)
         assert int(state2.num_steps) > n1
 
+    def test_dqn_checkpoint_resume(self, tmp_path):
+        """DQN writes a terminal checkpoint even when the run ends between
+        intervals, and a resume restores it (learner + env batch + pool)."""
+        import os
+
+        bundle = _bundle(tmp_path)
+        config["dqn.optimize_interval"] = 8
+        model, state = T.train_dqn(
+            bundle, total_steps=120, batch_size=8, seed=3,
+            data_dir=str(tmp_path), checkpoint_interval=10_000)
+        n1 = int(state.num_steps)
+        ckpt_dir = os.path.join(str(tmp_path), "checkpoints")
+        # Interval >> run length: only the terminal save can exist.
+        assert os.path.isdir(ckpt_dir) and any(
+            c.isdigit() for c in os.listdir(ckpt_dir))
+
+        bundle2 = _bundle(tmp_path)
+        config["dqn.optimize_interval"] = 8
+        model2, state2 = T.train_dqn(
+            bundle2, total_steps=n1 + 100, batch_size=8, seed=3,
+            data_dir=str(tmp_path), checkpoint_interval=10_000)
+        assert int(state2.num_steps) > n1
+
     def test_resume_restores_the_level_pool(self, tmp_path):
         """Mid-episode lanes reference levels by pool slot; a resume must
         reinstall the checkpointed pool, not score resumed episodes
