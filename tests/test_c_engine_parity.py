@@ -244,6 +244,15 @@ class TestProcgenDistributionParity:
     def test_prune_still_distribution(self):
         self._compare_task("prune-still")
 
+    def test_append_spawn_distribution(self):
+        # Spawn tasks exercise the region machinery the still tasks
+        # don't: spawners, fountains with goal halos, hardened life.
+        self._compare_task("append-spawn")
+
+    def test_navigation_distribution(self):
+        # Navigation layers fences, buffer zones, and dynamic patterns.
+        self._compare_task("navigation")
+
 
 class TestFullEnvParity:
     """Step-for-step parity of the batched env vs the REAL reference
