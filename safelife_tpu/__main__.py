@@ -135,9 +135,11 @@ def _confirm_data_dir(data_dir):
     if os.path.basename(data_dir).startswith("tmp"):
         response = "overwrite"
     elif not sys.stdin.isatty():
-        logging.getLogger(__name__).info(
-            "'%s' already exists; appending to it (no tty to ask)",
-            data_dir)
+        # Runs before setup_logging configures handlers, so a logger
+        # call would be dropped in exactly the non-interactive runs this
+        # message exists for.
+        print("'%s' already exists; appending to it (no tty to ask)"
+              % data_dir, file=sys.stderr)
         return
     else:
         print("The directory '%s' already exists." % data_dir)

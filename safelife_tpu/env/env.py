@@ -237,10 +237,11 @@ def reset_batch(cfg, pool, idx, min_perf_fraction=1.0):
     # Fraction 0 zeroes every points requirement, flipping the t=0
     # exit recoloring (exits open immediately); any positive fraction
     # recolors identically to the unscaled precompute (see
-    # state._derived_fields). Both variants are precomputed — the reset
-    # stays a pure gather + select.
-    board = jnp.where((mpf > 0)[:, None, None],
-                      g(pool.reset_board), g(pool.reset_board_open))
+    # state._derived_fields). Both variants live in one [L, 2, H, W]
+    # stack — the reset stays a single pure gather (one board fetch per
+    # lane on the hot auto-reset path, not two plus a select).
+    rb = pool.reset_boards.reshape((-1,) + pool.reset_boards.shape[-2:])
+    board = jnp.take(rb, 2 * idx + (mpf <= 0), axis=0)
     return EnvState(
         board=board,
         goals=g(pool.goals),

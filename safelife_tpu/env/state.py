@@ -83,11 +83,14 @@ class LevelBatch:
     row_w8: jax.Array           # int32 [L, A, H, W] (or [L, A, 1, 1] dummy)
     # Precomputed t=0 reset artifacts (see _derived_fields): the board
     # after the reset exit recoloring and the initial old_value — they
-    # make per-step auto-reset pure gathers. ``reset_board_open`` is the
-    # recoloring under a zero points requirement (min_perf_fraction == 0:
-    # exits open at t=0); resets select between the two per lane.
-    reset_board: jax.Array      # int32 [L, H, W]
-    reset_board_open: jax.Array  # int32 [L, H, W]
+    # make per-step auto-reset pure gathers. ``reset_boards`` stacks the
+    # positive-fraction recoloring ([:, 0]) and the zero-points-
+    # requirement one ([:, 1]: min_perf_fraction == 0, exits open at
+    # t=0); resets reshape to [2L, H, W] (free) and gather row
+    # ``2*idx + (fraction <= 0)`` so lane selection costs one gather,
+    # not two plus a select. Axis 0 stays L like every pool field, so
+    # multi-host slicing/allgather treat it uniformly.
+    reset_boards: jax.Array     # int32 [L, 2, H, W]
     reset_old_value: jax.Array  # float32 [L, A]
     rows_packed: bool = flax.struct.field(pytree_node=False, default=False)
     all_goals_static: bool = flax.struct.field(
@@ -231,6 +234,7 @@ def _derived_fields(boards, goals, tables, mperf, agent_locs, agent_mask,
     # can-exit reduces to "agent is active".
     reset_board_open = scoring.update_exit_colors(
         boards, agent_locs, agent_mask, exit_mask, active, cells=cells)
+    reset_boards = jnp.stack([reset_board, reset_board_open], axis=1)
     reset_old_value = (init_points.astype(jnp.float32)
                        + scoring.POINTS_ON_LEVEL_EXIT * exited) * agent_mask
     return dict(
@@ -242,8 +246,7 @@ def _derived_fields(boards, goals, tables, mperf, agent_locs, agent_mask,
         available_points=available.astype(jnp.float32),
         row_w0=row_w0,
         row_w8=row_w8,
-        reset_board=reset_board,
-        reset_board_open=reset_board_open,
+        reset_boards=reset_boards,
         reset_old_value=reset_old_value,
     )
 

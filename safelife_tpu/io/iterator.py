@@ -364,7 +364,7 @@ class LevelPoolManager:
         """Shut down the backing iterator's worker processes."""
         self.iterator.close()
 
-    def restore_pool(self, packed):
+    def restore_pool(self, arrays):
         """Install a checkpointed pool in place of the freshly built one.
 
         Resumed mid-episode lanes reference level data by pool slot
@@ -375,12 +375,38 @@ class LevelPoolManager:
         running episode's level metadata. Slot *names* are not persisted:
         episode records logged after a resume carry generic slot names
         until :meth:`refresh` rotates freshly generated levels in.
+
+        ``arrays`` is the checkpoint's raw pool field dict. The static
+        flags (rows_packed / all_goals_static / spawner_free) are pytree
+        aux data and so are NOT checkpointed — they are recomputed here
+        from the restored content rather than inherited from the resume
+        run's freshly generated pool, whose levels may legitimately
+        differ (e.g. a spawner-free fresh draw must not pin
+        spawner_free=True onto restored spawner levels). Returns the
+        installed pool.
         """
         import jax
 
+        from ..core import cells as C
+        from ..env.state import LevelBatch
+
+        arrays = dict(arrays)
+        if "reset_boards" not in arrays:  # pre-stack checkpoint layouts
+            closed = np.asarray(arrays.pop("reset_board"))
+            opened = np.asarray(arrays.pop("reset_board_open", closed))
+            arrays["reset_boards"] = np.stack([closed, opened], axis=1)
+        b = np.asarray(arrays["board"])
+        g = np.asarray(arrays["goals"])
+        packed = LevelBatch(
+            **arrays,
+            rows_packed=np.asarray(arrays["row_w8"]).shape[-2:] != (1, 1),
+            all_goals_static=bool(np.all(np.asarray(
+                arrays["goals_static"]))),
+            spawner_free=not bool(((b | g) & C.SPAWNING).any()),
+        )
         if not self._multihost:
             self.pool = packed
-            return
+            return self.pool
         # Checkpointed pools come back as globally-replicated arrays;
         # the manager keeps host-local copies (this host's slice feeds
         # refresh(), the full pool is re-allgathered from it).
@@ -390,6 +416,7 @@ class LevelPoolManager:
         self._local_pool = jax.tree.map(
             lambda x: x[off:off + n], packed)
         self.pool = packed
+        return self.pool
 
     def level_meta(self):
         """Per-slot metadata keyed by *pool* index (global in multi-host

@@ -59,6 +59,25 @@ class CheckpointManager:
     def latest_step(self):
         return self.manager.latest_step()
 
+    def structure(self):
+        """Shapes/dtypes of the latest checkpoint, without loading data.
+
+        Returns (nested dict of jax.ShapeDtypeStruct, step), or
+        (None, None) when no checkpoint exists. Callers build restore
+        templates from what the checkpoint actually stores instead of
+        guessing formats and classifying exceptions.
+        """
+        import jax
+
+        step = self.manager.latest_step()
+        if step is None:
+            return None, None
+        md = ocp.StandardCheckpointer().metadata(
+            os.path.join(self.path, str(step), "default"))
+        tree = getattr(md, "item_metadata", md)
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree), step
+
     def restore_raw(self):
         """Restore the latest checkpoint without a template (e.g. for
         eval-only runs). Returns (pytree-of-arrays, step) or (None, None)."""

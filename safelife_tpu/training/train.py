@@ -121,6 +121,61 @@ def _maybe_record_best_episode(bundle, model, params, env_cfg, pool, key):
         history=history)
 
 
+def _restore_latest(ckpt, learner_t, ws, bundle, env_cfg, mesh):
+    """Restore the latest checkpoint for a training loop (PPO and DQN).
+
+    The restore template is built from the checkpoint's OWN stored
+    structure (:meth:`CheckpointManager.structure`), so older formats
+    (pre-pool, pre-env-state, pre-opt-state) restore whatever they
+    contain without exception-driven format guessing — and a genuinely
+    broken checkpoint (corruption, permissions, orbax drift) raises
+    instead of silently discarding training progress. Pool arrays are
+    restored shape-accurately from metadata, so a resume whose freshly
+    generated pool differs structurally (row packing, exit padding)
+    still reinstalls the checkpointed pool; the pool manager recomputes
+    the static flags from the restored content.
+
+    Returns ``(learner_fields, ws, obs, pool, extra, step)``; the first
+    is None when no checkpoint exists. ``obs``/``pool`` are None when
+    the checkpoint predates env-state / pool checkpointing.
+    """
+    struct, _ = ckpt.structure()
+    if struct is None:
+        return None, ws, None, None, None, None
+    tmpl = {k: v for k, v in learner_t.items() if k in struct}
+    missing = sorted(set(learner_t) - set(struct))
+    if missing:
+        logger.info("checkpoint predates field(s) %s; restoring the "
+                    "fields it has", missing)
+    if "env_state" in struct:
+        tmpl["env_state"] = ws
+    if "pool" in struct:
+        shard = mesh and jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())
+        tmpl["pool"] = jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
+                                           sharding=shard or None),
+            struct["pool"])
+    restored, extra, step = ckpt.restore(tmpl)
+    pool = None
+    if "pool" in restored:
+        pool = bundle.pool_manager.restore_pool(restored.pop("pool"))
+    elif "env_state" in restored:
+        logger.warning(
+            "checkpoint has env state but no level pool (old format); "
+            "resumed mid-episode lanes score against freshly generated "
+            "levels")
+    obs = new_ws = None
+    if "env_state" in restored:
+        new_ws = restored.pop("env_state")
+        obs = E._batch_obs(
+            env_cfg, pool if pool is not None
+            else bundle.pool_manager.pool, new_ws.env)
+    logger.info("restored checkpoint at step %s", step)
+    return restored, new_ws if new_ws is not None else ws, obs, pool, \
+        extra, step
+
+
 def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
               data_dir=None, report_interval=960, test_interval=5e5,
               checkpoint_interval=100_000, pool_refresh=4,
@@ -163,46 +218,18 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
         # resume restarts every episode. Restoring the env state without
         # its pool would score every resumed mid-episode lane against
         # whatever levels the fresh iterator happened to generate.
-        pool_t = M.global_replicated(jax.device_get(pool), mesh) \
-            if mesh is not None else pool
         learner_t = {"params": pstate.params, "opt_state": pstate.opt_state,
                      "num_steps": pstate.num_steps}
-        # Newest format first; older formats (pre-pool, pre-env-state)
-        # surface as tree-structure/shape mismatches and fall through to
-        # the next template. Only those error types are caught — anything
-        # else (corrupt checkpoint, orbax version, permissions) must not
-        # silently discard training progress and propagates.
-        restored = extra = step = None
-        templates = (dict(learner_t, env_state=ws, pool=pool_t),
-                     dict(learner_t, env_state=ws),
-                     learner_t)
-        for i, tmpl in enumerate(templates):
-            try:
-                restored, extra, step = ckpt.restore(tmpl)
-                break
-            except (ValueError, KeyError, TypeError) as exc:
-                if i + 1 < len(templates):
-                    logger.info("restore failed (%s); trying an older "
-                                "checkpoint format", exc)
-                else:
-                    logger.warning(
-                        "checkpoint restore failed with structure "
-                        "mismatch in every known format (%s); starting "
-                        "fresh", exc)
+        restored, ws, robs, rpool, extra, _ = _restore_latest(
+            ckpt, learner_t, ws, bundle, env_cfg, mesh)
         if restored is not None:
-            rpool = restored.pop("pool", None)
+            if robs is not None:
+                obs = robs
             if rpool is not None:
-                bundle.pool_manager.restore_pool(rpool)
-            ws = restored.pop("env_state", ws)
-            obs = E._batch_obs(env_cfg, rpool if rpool is not None
-                               else pool, ws.env)
+                pool = bundle.pool_manager.pool
             pstate = pstate.replace(**restored)
             if extra:
                 bundle.training_logger.cumulative_stats.update(extra)
-            logger.info("restored checkpoint at step %s%s", step,
-                        "" if rpool is not None else
-                        " (old format: no level pool; resumed mid-episode"
-                        " lanes score against freshly generated levels)")
 
     collector = EpisodeCollector(
         bundle.training_logger,
@@ -341,34 +368,16 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
                      "target_params": dstate.target_params,
                      "opt_state": dstate.opt_state,
                      "num_steps": dstate.num_steps}
-        restored = step = None
-        templates = (dict(learner_t, env_state=ws, pool=pool),
-                     learner_t,
-                     {k: learner_t[k] for k in
-                      ("params", "target_params", "num_steps")})
-        for i, tmpl in enumerate(templates):
-            try:
-                restored, _, step = ckpt.restore(tmpl)
-                break
-            except (ValueError, KeyError, TypeError) as exc:
-                if i + 1 < len(templates):
-                    logger.info("restore failed (%s); trying an older "
-                                "checkpoint format", exc)
-                else:
-                    logger.warning(
-                        "checkpoint restore failed with structure "
-                        "mismatch in every known format (%s); starting "
-                        "fresh", exc)
+        restored, ws, robs, rpool, extra, _ = _restore_latest(
+            ckpt, learner_t, ws, bundle, env_cfg, mesh=None)
         if restored is not None:
-            rpool = restored.pop("pool", None)
+            if robs is not None:
+                obs = robs
             if rpool is not None:
-                bundle.pool_manager.restore_pool(rpool)
                 pool = bundle.pool_manager.pool
-            if "env_state" in restored:
-                ws = restored.pop("env_state")
-                obs = E._batch_obs(env_cfg, pool, ws.env)
             dstate = dstate.replace(**restored)
-            logger.info("restored checkpoint at step %s", step)
+            if extra:
+                bundle.training_logger.cumulative_stats.update(extra)
     collector = EpisodeCollector(
         bundle.training_logger,
         level_meta=bundle.pool_manager.level_meta())
@@ -401,7 +410,8 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
                     # state's lanes must resume against the levels they
                     # are mid-episode on.
                     "env_state": ws,
-                    "pool": pool})
+                    "pool": pool},
+                dict(bundle.training_logger.cumulative_stats))
         if n >= next_report:
             next_report = (n // report_interval + 1) * report_interval
             m = {k2: float(v) for k2, v in metrics.items()}
@@ -417,7 +427,8 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
                    "target_params": dstate.target_params,
                    "opt_state": dstate.opt_state,
                    "num_steps": dstate.num_steps,
-                   "env_state": ws, "pool": pool})
+                   "env_state": ws, "pool": pool},
+                  dict(bundle.training_logger.cumulative_stats))
     return model, dstate
 
 

@@ -79,6 +79,37 @@ class TestTrainingLoops:
             data_dir=str(tmp_path), checkpoint_interval=10_000)
         assert int(state2.num_steps) > n1
 
+    def test_restore_pool_recomputes_static_flags(self):
+        """LevelBatch's static flags are pytree aux data, so a checkpoint
+        restore rebuilds the pool around the RESUME run's template flags.
+        restore_pool must recompute them from the restored content: a
+        spawner-free fresh draw must not pin spawner_free=True onto
+        restored spawner levels (that would silence their spawners and
+        make refresh() reject every future spawner level)."""
+        import dataclasses
+
+        bundle = _bundle()  # append-still: spawner-free fresh pool
+        mgr = bundle.pool_manager
+        assert mgr.pool.spawner_free
+
+        from safelife_tpu.core import cells as C
+        from safelife_tpu.env.state import LevelBatch
+
+        # Simulate the checkpointed pool of a *spawn-task* run: same
+        # arrays with one spawner cell, passed the way the restore path
+        # hands them over (a plain field dict, flags absent).
+        fields = {f.name: np.asarray(getattr(mgr.pool, f.name))
+                  for f in dataclasses.fields(LevelBatch)
+                  if f.name not in ("rows_packed", "all_goals_static",
+                                    "spawner_free")}
+        fields["board"] = fields["board"].copy()
+        fields["board"][0, 3, 3] = C.SPAWNING | C.FROZEN
+        restored = mgr.restore_pool(fields)
+        assert not restored.spawner_free
+        assert restored.rows_packed == mgr.pool.rows_packed
+        np.testing.assert_array_equal(
+            np.asarray(restored.board), fields["board"])
+
     def test_resume_restores_the_level_pool(self, tmp_path):
         """Mid-episode lanes reference levels by pool slot; a resume must
         reinstall the checkpointed pool, not score resumed episodes
