@@ -79,6 +79,30 @@ class TestTrainingLoops:
             data_dir=str(tmp_path), checkpoint_interval=10_000)
         assert int(state2.num_steps) > n1
 
+    def test_restore_legacy_learner_only_checkpoint(self, tmp_path):
+        """Checkpoints that predate env-state/pool checkpointing restore
+        the fields they have through the structure-driven template (no
+        format guessing), leaving env state and pool untouched."""
+        from safelife_tpu.training.checkpoints import CheckpointManager
+        from safelife_tpu.training.train import _restore_latest
+
+        bundle = _bundle()
+        model, state = T.train_ppo(bundle, total_steps=100, batch_size=8,
+                                   seed=0)
+        learner_t = {"params": state.params, "opt_state": state.opt_state,
+                     "num_steps": state.num_steps}
+        ckpt = CheckpointManager(str(tmp_path), interval=10)
+        ckpt.save(7, learner_t, {"training_steps": 7})
+
+        import jax
+        ws_sentinel = {"marker": jax.numpy.arange(3)}
+        restored, ws, obs, pool, extra, step = _restore_latest(
+            ckpt, learner_t, ws_sentinel, bundle, bundle.env_cfg, None)
+        assert step == 7 and extra == {"training_steps": 7}
+        assert set(restored) == {"params", "opt_state", "num_steps"}
+        assert obs is None and pool is None
+        assert ws is ws_sentinel  # untouched
+
     def test_restore_pool_recomputes_static_flags(self):
         """LevelBatch's static flags are pytree aux data, so a checkpoint
         restore rebuilds the pool around the RESUME run's template flags.
