@@ -145,7 +145,10 @@ def _confirm_data_dir(data_dir):
         print("The directory '%s' already exists." % data_dir)
         response = None
         while response not in ("overwrite", "append", "abort"):
-            response = input("(overwrite / append / abort) > ").strip()
+            try:
+                response = input("(overwrite / append / abort) > ").strip()
+            except EOFError:  # stdin closed at the prompt
+                response = "abort"
     if response == "overwrite":
         print("Overwriting old data.")
         shutil.rmtree(data_dir)
@@ -163,9 +166,6 @@ def cmd_train(args):
     from .training.global_config import config
     from .training.logging_setup import setup_logging
 
-    if args.data_dir and args.run_type == "train":
-        _confirm_data_dir(args.data_dir)
-
     # Multi-host runs join the coordinator before any device use; a
     # documented no-op without a configured coordinator.
     proc, nprocs = M.initialize_distributed()
@@ -173,6 +173,17 @@ def cmd_train(args):
         logging.getLogger(__name__).info(
             "distributed: process %d/%d, %d global devices",
             proc, nprocs, len(jax.devices()))
+
+    if args.data_dir and args.run_type == "train":
+        # Host 0 alone decides what happens to an existing directory
+        # (uncoordinated rmtree across hosts on a shared filesystem would
+        # race); the barrier keeps other hosts from writing into a
+        # directory host 0 may be deleting.
+        if proc == 0:
+            _confirm_data_dir(args.data_dir)
+        if nprocs > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("data_dir_confirmed")
 
     setup_logging(args.data_dir)
     if args.extra_params:

@@ -221,7 +221,7 @@ def _derived_fields(boards, goals, tables, mperf, agent_locs, agent_mask,
     # fraction of exactly 0 (a legitimate schedule start: no points
     # requirement, exits open at t=0) flips the test for every agent, so
     # that case gets its own precomputed board and resets select per lane
-    # (env.fresh_state).
+    # (env.reset_batch).
     cells = scoring.agent_cells(boards, agent_locs)
     exited = (cells & (C.AGENT | C.EXIT)) == C.EXIT
     earned = (init_points - init_points).astype(jnp.float32) \

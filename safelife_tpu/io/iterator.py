@@ -321,6 +321,7 @@ class LevelPoolManager:
         levels = [next(iterator) for _ in range(pool_size)]
         self._host_levels = levels
         self._slot = 0
+        self._restored_meta = None
         self._multihost = jax.process_count() > 1
         if not self._multihost:
             self.pool = self._pack(levels, pad_agents, pad_exits)
@@ -373,8 +374,10 @@ class LevelPoolManager:
         training state is only scored correctly against the exact pool it
         was checkpointed with — a rebuilt pool would silently swap every
         running episode's level metadata. Slot *names* are not persisted:
-        episode records logged after a resume carry generic slot names
-        until :meth:`refresh` rotates freshly generated levels in.
+        episode records logged after a resume carry generic
+        ``restored/slot-N`` names (with reward metadata recomputed from
+        the restored arrays) until :meth:`refresh` rotates freshly
+        generated levels in.
 
         ``arrays`` is the checkpoint's raw pool field dict. The static
         flags (rows_packed / all_goals_static / spawner_free) are pytree
@@ -388,15 +391,44 @@ class LevelPoolManager:
         import jax
 
         from ..core import cells as C
+        from ..core import scoring
         from ..env.state import LevelBatch
 
         arrays = dict(arrays)
-        if "reset_boards" not in arrays:  # pre-stack checkpoint layouts
-            closed = np.asarray(arrays.pop("reset_board"))
-            opened = np.asarray(arrays.pop("reset_board_open", closed))
-            arrays["reset_boards"] = np.stack([closed, opened], axis=1)
         b = np.asarray(arrays["board"])
         g = np.asarray(arrays["goals"])
+        # A resumed run's lanes index pool slots by position, and
+        # refresh() reassembles the global pool from per-host slices —
+        # both silently corrupt if the slot count changed between runs.
+        expect = len(self._host_levels) * (
+            jax.process_count() if self._multihost else 1)
+        fresh_hw = np.asarray(
+            (self._local_pool if self._multihost else self.pool)
+            .board).shape[-2:]
+        if b.shape[0] != expect or b.shape[-2:] != tuple(fresh_hw):
+            raise ValueError(
+                "checkpointed level pool is %s but this run built %s "
+                "(pool_size, board size, or process count changed); "
+                "resume with matching settings or start a fresh data_dir"
+                % (b.shape, (expect,) + tuple(fresh_hw)))
+        if "reset_boards" not in arrays:  # pre-stack checkpoint layouts
+            closed = np.asarray(arrays.pop("reset_board"))
+            if "reset_board_open" in arrays:
+                opened = np.asarray(arrays.pop("reset_board_open"))
+            else:
+                # Oldest layout stored only the positive-fraction
+                # recoloring; recompute the fraction-0 (exits open)
+                # variant from the raw boards exactly as pack-time
+                # _derived_fields does, instead of aliasing the closed
+                # one (which would keep exits shut at t=0 after resume).
+                locs = np.asarray(arrays["agent_locs"])
+                mask = np.asarray(arrays["agent_mask"])
+                cells = scoring.agent_cells(b, locs)
+                active = ((np.asarray(cells) & C.AGENT) != 0) & mask
+                opened = np.asarray(scoring.update_exit_colors(
+                    b, locs, mask, np.asarray(arrays["exit_mask"]),
+                    active, cells=cells))
+            arrays["reset_boards"] = np.stack([closed, opened], axis=1)
         packed = LevelBatch(
             **arrays,
             rows_packed=np.asarray(arrays["row_w8"]).shape[-2:] != (1, 1),
@@ -404,6 +436,21 @@ class LevelPoolManager:
                 arrays["goals_static"]))),
             spawner_free=not bool(((b | g) & C.SPAWNING).any()),
         )
+        # _host_levels still holds the discarded fresh draws, so expose
+        # honest per-slot metadata recomputed from the restored arrays
+        # instead (overlaid in level_meta, dropped per slot by refresh).
+        avail = np.asarray(packed.available_points)
+        req = np.asarray(packed.required_points)
+        mask = np.asarray(packed.agent_mask)
+        mperf = np.asarray(packed.min_performance)
+        self._restored_meta = {
+            i: {"name": "restored/slot-%d" % i,
+                "reward_possible": float(
+                    (avail[i] + scoring.POINTS_ON_LEVEL_EXIT)
+                    [mask[i]].sum()),
+                "reward_needed": int(req[i][mask[i]].sum()),
+                "min_performance": float(mperf[i])}
+            for i in range(avail.shape[0])}
         if not self._multihost:
             self.pool = packed
             return self.pool
@@ -428,6 +475,9 @@ class LevelPoolManager:
 
         local = level_metadata(self._host_levels)
         if not self._multihost:
+            if self._restored_meta:
+                local = dict(local)
+                local.update(self._restored_meta)
             return local
         import jax
         from jax.experimental import multihost_utils
@@ -445,6 +495,8 @@ class LevelPoolManager:
             meta[i] = {"name": name or ("level-%d" % i)}
         for i, m in local.items():
             meta[offset + i] = m
+        if self._restored_meta:
+            meta.update(self._restored_meta)
         return meta
 
     def refresh(self, max_new=8):
@@ -484,8 +536,14 @@ class LevelPoolManager:
                 "static guarantees", len(new) - len(kept))
         target = self._local_pool if self._multihost else self.pool
         if kept:
+            import jax as _jax
+            off = (_jax.process_index() * len(self._host_levels)
+                   if self._multihost else 0)
             for lv in kept:
                 self._host_levels[self._slot] = lv
+                if self._restored_meta:
+                    # The slot now holds a known fresh level again.
+                    self._restored_meta.pop(off + self._slot, None)
                 self._slot = (self._slot + 1) % len(self._host_levels)
             flags = (target.rows_packed, target.all_goals_static,
                      target.spawner_free)

@@ -147,16 +147,42 @@ def _restore_latest(ckpt, learner_t, ws, bundle, env_cfg, mesh):
     if missing:
         logger.info("checkpoint predates field(s) %s; restoring the "
                     "fields it has", missing)
-    if "env_state" in struct:
+
+    def _leaf_shapes(tree):
+        return sorted((tuple(x.shape), str(np.dtype(x.dtype)))
+                      for x in jax.tree.leaves(tree))
+
+    env_compatible = ("env_state" in struct
+                      and _leaf_shapes(struct["env_state"])
+                      == _leaf_shapes(ws))
+    if env_compatible:
         tmpl["env_state"] = ws
-    if "pool" in struct:
+    elif "env_state" in struct:
+        # A legitimate config change (batch size, wrapper ring period)
+        # reshapes the env batch; resume the learner only rather than
+        # failing the run. The pool is skipped with it — installing the
+        # checkpointed pool under freshly reset lanes would break the
+        # lane <-> level coherence the pool checkpoint exists for.
+        logger.warning(
+            "checkpoint env state does not match this run's shapes "
+            "(batch size or wrapper config changed); resuming learner "
+            "state only with fresh episodes and levels")
+    if "pool" in struct and env_compatible:
         shard = mesh and jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec())
         tmpl["pool"] = jax.tree.map(
             lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype,
                                            sharding=shard or None),
             struct["pool"])
+    # The template must span the whole saved tree; anything this run
+    # does not use is restored shape-accurately from metadata (these
+    # subtrees are small — an env batch / level pool) and discarded.
+    wanted = set(tmpl)
+    for k in struct:
+        tmpl.setdefault(k, jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), struct[k]))
     restored, extra, step = ckpt.restore(tmpl)
+    restored = {k: restored[k] for k in wanted}
     pool = None
     if "pool" in restored:
         pool = bundle.pool_manager.restore_pool(restored.pop("pool"))

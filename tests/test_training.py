@@ -134,6 +134,70 @@ class TestTrainingLoops:
         np.testing.assert_array_equal(
             np.asarray(restored.board), fields["board"])
 
+    def test_resume_with_changed_batch_size_keeps_learner(self, tmp_path):
+        """A resume whose env batch no longer matches the checkpoint
+        (batch size changed between runs) must keep the learner state
+        and start fresh episodes instead of crashing on the env-state
+        shape mismatch."""
+        bundle = _bundle(tmp_path)
+        model, state = T.train_ppo(
+            bundle, total_steps=300, batch_size=8, seed=0,
+            data_dir=str(tmp_path), checkpoint_interval=160)
+        n1 = int(state.num_steps)
+
+        bundle2 = _bundle(tmp_path)
+        model2, state2 = T.train_ppo(
+            bundle2, total_steps=n1, batch_size=16, seed=0,
+            data_dir=str(tmp_path), checkpoint_interval=160)
+        # total_steps == n1: the restored step count skips the loop, so
+        # the params must be bitwise the checkpointed ones.
+        assert int(state2.num_steps) == n1
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(state2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_restore_pool_rejects_slot_count_drift(self):
+        """Lanes index pool slots by position and refresh reassembles
+        per-host slices, so resuming with a different pool_size must be
+        a loud error, not silent mis-scoring."""
+        import dataclasses
+
+        import pytest
+
+        from safelife_tpu.env.state import LevelBatch
+
+        bundle = _bundle()
+        mgr = bundle.pool_manager
+        fields = {f.name: np.asarray(getattr(mgr.pool, f.name))[:2]
+                  for f in dataclasses.fields(LevelBatch)
+                  if f.name not in ("rows_packed", "all_goals_static",
+                                    "spawner_free")}
+        with pytest.raises(ValueError, match="pool"):
+            mgr.restore_pool(fields)
+
+    def test_restore_pool_recomputes_legacy_open_board(self):
+        """Oldest checkpoints stored only the positive-fraction reset
+        recoloring; the fraction-0 (exits open) variant must be
+        recomputed from the raw boards, not aliased to the closed one."""
+        import dataclasses
+
+        from safelife_tpu.env.state import LevelBatch
+
+        bundle = _bundle()
+        mgr = bundle.pool_manager
+        truth = np.asarray(mgr.pool.reset_boards)
+        fields = {f.name: np.asarray(getattr(mgr.pool, f.name))
+                  for f in dataclasses.fields(LevelBatch)
+                  if f.name not in ("rows_packed", "all_goals_static",
+                                    "spawner_free", "reset_boards")}
+        fields["reset_board"] = truth[:, 0]
+        restored = mgr.restore_pool(fields)
+        np.testing.assert_array_equal(
+            np.asarray(restored.reset_boards), truth)
+        meta = mgr.level_meta()
+        assert meta[0]["name"].startswith("restored/")
+        assert meta[0]["reward_possible"] > 0
+
     def test_resume_restores_the_level_pool(self, tmp_path):
         """Mid-episode lanes reference levels by pool slot; a resume must
         reinstall the checkpointed pool, not score resumed episodes
