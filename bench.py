@@ -28,6 +28,12 @@ REFERENCE_BASELINE_STEPS_PER_S = 1.0e4
 BATCH = int(os.environ.get("SAFELIFE_TPU_BENCH_BATCH", 4096))
 SCAN_STEPS = int(os.environ.get("SAFELIFE_TPU_BENCH_SCAN", 100))
 TIMED_REPS = int(os.environ.get("SAFELIFE_TPU_BENCH_REPS", 20))
+# Observation mode: "channels" = unpacked 15-channel uint8 (what the
+# reference env emits, safelife_env.py:140-143); "packed" = raw packed
+# int32 views (this repo's TRAINING DEFAULT — env.packed_obs: networks
+# unpack at their input, bit-exact, ~6x less obs memory); "flat" =
+# channels flattened to [B, A, vh*vw*C].
+OBS_MODE = os.environ.get("SAFELIFE_TPU_BENCH_OBS", "channels")
 
 
 def log(*args):
@@ -61,6 +67,11 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from safelife_tpu.utils.cache import enable_compilation_cache
+    cache_dir = enable_compilation_cache()
+    log("compilation cache:", cache_dir or "disabled")
+
     import jax.numpy as jnp
 
     from safelife_tpu.env import env as E
@@ -70,11 +81,13 @@ def main():
     pool = load_pool()
     cfg = E.EnvConfig(
         view_shape=(25, 25),
-        output_channels=TRAINING_CHANNELS,  # full 15-channel obs unpack
+        output_channels=(None if OBS_MODE == "packed"
+                         else TRAINING_CHANNELS),
         time_limit=1000,
         goals_may_evolve=False,  # append-still goals are static
         stochastic=False,         # append-still boards are spawner-free
         auto_reset=True,
+        flat_obs=(OBS_MODE == "flat"),
     )
 
     state, obs = E.reset(cfg, pool, jax.random.PRNGKey(0), BATCH)
@@ -122,9 +135,14 @@ def main():
     log("%.0f env-steps/s over %d steps in %.2fs on %s"
         % (rate, steps, dt, jax.devices()[0].device_kind))
 
+    obs_desc = {
+        "channels": "full 15-channel 25x25 obs",
+        "packed": "packed int32 25x25 obs (training default)",
+        "flat": "flat 15-channel 25x25 obs",
+    }[OBS_MODE]
     print(json.dumps({
-        "metric": "env-steps/s/chip (append-still, batch %d, "
-                  "full 15-channel 25x25 obs)" % BATCH,
+        "metric": "env-steps/s/chip (append-still, batch %d, %s)"
+                  % (BATCH, obs_desc),
         "value": round(rate),
         "unit": "env-steps/s",
         "vs_baseline": round(rate / REFERENCE_BASELINE_STEPS_PER_S, 2),

@@ -35,6 +35,8 @@ def _pin_platform():
 
 def main(argv=None):
     _pin_platform()
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="safelife_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -205,6 +205,13 @@ def get_obs_batch(cfg, board, goals, agent_locs, agent_mask,
                 & exit_valid[:, e, None, None, None])          # [B,A,vh,vw]
         views = jnp.where(mask, val[:, None, None, None], views)
 
+    return unpack_view_channels(cfg, views)
+
+
+def unpack_view_channels(cfg, views):
+    """Binary-channel unpack of packed int32 views per ``output_channels``
+    (reference ``safelife_env.py:140-143``); shared tail of the XLA and
+    Pallas view producers."""
     if cfg.output_channels is None:
         return views
     shifts = jnp.array(cfg.output_channels, jnp.int32)
@@ -448,7 +455,21 @@ def step_core(cfg, pool, state, actions, key):
 
 
 def _batch_obs(cfg, pool, state):
+    from .. import ops
+
     lv = lane_level(pool, state.level_idx, state.min_perf_fraction)
+    b, h, w = state.board.shape
+    if ops.use_obs_kernel((h, w), b, cfg.view_shape):
+        # Pallas recenter kernel (the TPU production path): per-lane
+        # binary-decomposed cyclic rolls in VMEM instead of the one-hot
+        # matmuls — bit-exact, ~10x cheaper (see ops/obs.py).
+        center = jnp.where(lv.agent_mask[..., None], state.agent_locs, 0)
+        views = ops.recenter_views_pallas(
+            state.board, state.goals, center[..., 0], center[..., 1],
+            lv.exit_locs, lv.exit_locs_valid,
+            view_shape=cfg.view_shape,
+            remove_white_goals=cfg.remove_white_goals)
+        return unpack_view_channels(cfg, views)
     return get_obs_batch(cfg, state.board, state.goals, state.agent_locs,
                          lv.agent_mask, lv.exit_locs, lv.exit_locs_valid)
 

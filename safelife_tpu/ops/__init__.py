@@ -6,6 +6,10 @@ formulations in :mod:`safelife_tpu.core` remain the portable fallback
 (CPU tests, odd shapes) and the semantic reference.
 """
 
+from .obs import (  # noqa: F401
+    recenter_views_pallas,
+    use_obs_kernel,
+)
 from .physics import (  # noqa: F401
     advance_pallas,
     fused_actions_advance,

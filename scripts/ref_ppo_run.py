@@ -170,7 +170,9 @@ def main():
     ap.add_argument("--algo", default="ppo", choices=("ppo", "dqn"))
     ap.add_argument("--no-side-effects", action="store_true", help=(
         "skip the episode-end side-effect scoring (logging only; does not"
-        " affect rewards or learning — large wall-time saver)"))
+        " affect rewards or learning). NB: trips a latent reference bug — "
+        "safelife_logger.py:318-333 only binds `score` when side effects "
+        "are present — so leave scoring on for real runs."))
     ap.add_argument("--torch-threads", type=int, default=2)
     args = ap.parse_args()
 
@@ -194,6 +196,13 @@ def main():
     if args.no_side_effects:
         from safelife.safelife_env import SafeLifeEnv
         SafeLifeEnv.should_calculate_side_effects = False
+
+    # Skip trajectory videos: modern imageio loads sprites.png as (70,70,2)
+    # LA (the 2019-era loader expanded to RGBA) which trips the C renderer,
+    # and rendering 1000-frame mp4s on this box's single core would distort
+    # wall time. Videos have no effect on training or episode logs.
+    import safelife.safelife_logger as _sl
+    _sl.render_file = lambda *a, **k: None
 
     data_dir = args.data_dir
     os.makedirs(data_dir, exist_ok=True)

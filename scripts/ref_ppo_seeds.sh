@@ -9,7 +9,7 @@ for seed in 1 2 3; do
     rm -rf "$OUT-s$seed"
     OMP_NUM_THREADS=1 MKL_NUM_THREADS=1 nice -n 10 \
         python scripts/ref_ppo_run.py "$OUT-s$seed" \
-        --steps "$STEPS" --seed "$seed" --no-side-effects \
+        --steps "$STEPS" --seed "$seed" \
         --torch-threads 1 > "$OUT-s$seed.log" 2>&1
     echo "seed $seed done"
 done

@@ -105,3 +105,29 @@ def test_spawn_fraction():
     )(board)).reshape(b, h, w)
     frac = ((out != det) & elig).sum() / max(elig.sum(), 1)
     assert 0.25 < frac < 0.35
+
+
+def test_obs_kernel_matches_xla_compiled():
+    """Compiled (Mosaic) form of the obs recenter kernel, on-device.
+
+    The CPU suite covers the same equivalence in interpret mode
+    (tests/test_obs_kernel.py); this asserts the compiled kernel agrees.
+    """
+    from safelife_tpu import ops
+    from safelife_tpu.env import env as E
+
+    rng = np.random.default_rng(3)
+    b, h, w, a, e = 64, 26, 26, 2, 2
+    board = jnp.asarray(rng.integers(0, 2 ** 16, (b, h, w)), jnp.int32)
+    goals = jnp.asarray(rng.integers(0, 2 ** 16, (b, h, w)), jnp.int32)
+    locs = jnp.asarray(rng.integers(0, 26, (b, a, 2)), jnp.int32)
+    mask = jnp.asarray(rng.random((b, a)) < 0.8)
+    el = jnp.asarray(rng.integers(0, 26, (b, e, 2)), jnp.int32)
+    ev = jnp.asarray(rng.random((b, e)) < 0.7)
+    cfg = E.EnvConfig(view_shape=(25, 25), output_channels=None)
+    ref = E.get_obs_batch(cfg, board, goals, locs, mask, el, ev)
+    center = jnp.where(mask[..., None], locs, 0)
+    got = ops.recenter_views_pallas(
+        board, goals, center[..., 0], center[..., 1], el, ev,
+        view_shape=(25, 25))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
