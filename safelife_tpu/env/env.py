@@ -523,6 +523,27 @@ def sample_episode_record(pool, init_boards, state, info, valid=True):
     }
 
 
+def all_episode_records(pool, init_boards, state, info, valid=True):
+    """Per-lane episode capture for exhaustive side-effect scoring.
+
+    The per-lane analog of :func:`sample_episode_record`: every lane's
+    (init, final) board pair plus metadata, with ``found`` flagging the
+    lanes whose episode ended this step. Materializing [T, B, H, W]
+    boards per chunk is only affordable at validation-scale batches —
+    the ``side_effect.exhaustive_logging`` option that consumes this is
+    opt-in (the reference scores every episode at 16 serial envs,
+    ``safelife_env.py:183-193``; this restores that behavior when asked).
+    """
+    return {
+        "found": info["lane_done"] & bool(valid),
+        "init_board": init_boards,
+        "final_board": state.board,
+        "num_steps": state.num_steps,
+        "spawn_prob": jnp.take(pool.spawn_prob, state.level_idx),
+        "level_idx": state.level_idx,
+    }
+
+
 def step_impl(cfg, pool, state, actions, key):
     """Batched environment step.
 

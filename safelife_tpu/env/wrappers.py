@@ -47,6 +47,18 @@ class WrapperConfig:
     se_baseline: str = "starting-state"  # or "inaction"
     ignore_reward_cells: bool = False
     enabled: bool = True
+    # ContinuingEnv semantics (reference env_wrappers.py:101-118): the
+    # learner-visible ``done`` is suppressed unless the time limit fired,
+    # so value bootstrapping continues across deaths/exits (auto-reset
+    # supplies the fresh level either way). The reference restricts this
+    # to single-agent envs; here the [B] times_up flag broadcasts over
+    # the agent axis, which is the same restriction in batched form.
+    continuing: bool = False
+    # Capture every lane's (init, final) boards per step so the trainer
+    # can score every finished episode's side effects like the reference
+    # (safelife_env.py:183-193) instead of sampling one per step. Costs
+    # [T, B, H, W] x2 per chunk — use at validation-scale batches.
+    exhaustive_se: bool = False
 
 
 @flax.struct.dataclass
@@ -178,8 +190,12 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
     # Episode-end SE sampling reads the episode's own start board, so
     # inaction-baseline runs (exactly the penalized spawn-task runs that
     # need safety telemetry) sample episodes too.
-    info["ep_sample"] = E.sample_episode_record(
-        pool, state.episode_start_board, env2, info)
+    if wcfg.exhaustive_se:
+        info["ep_sample"] = E.all_episode_records(
+            pool, state.episode_start_board, env2, info)
+    else:
+        info["ep_sample"] = E.sample_episode_record(
+            pool, state.episode_start_board, env2, info)
 
     if wcfg.enabled:
         if wcfg.se_baseline == "inaction":
@@ -214,6 +230,11 @@ def step_impl(cfg, wcfg, pool, state, actions, key,
                                      min_perf_fraction),
             state)
     obs = E._batch_obs(cfg, pool, state.env)
+    if wcfg.continuing:
+        # The lanes reset above regardless; only the learner-visible
+        # episode boundary is masked (the reference's ContinuingEnv
+        # returns the fresh reset obs with done=False the same way).
+        done = done & info["times_up"][:, None]
     return state, obs, reward, done, info
 
 

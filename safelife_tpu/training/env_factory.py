@@ -291,6 +291,11 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
     if task not in task_types:
         raise ValueError("'%s' is not a recognized task" % task)
     task_data = task_types[task]
+    # Overridable from the CLI (-x '{"env.procgen_workers": 0}'): on
+    # single-core hosts the forked worker pool can deadlock against
+    # JAX's thread pools, and 0 generates levels synchronously.
+    procgen_workers = int(config.setdefault(
+        'env.procgen_workers', procgen_workers))
 
     seed = np.random.SeedSequence(config.setdefault('seed', None))
     training_seed, benchmark_seed = seed.spawn(2)
@@ -318,6 +323,14 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=32,
         ignore_reward_cells=config.setdefault(
             'side_effect.ignore_reward_cells', False),
         single_agent=not multiagent,
+        # ContinuingEnv mode (reference env_wrappers.py:101-118).
+        continuing=config.setdefault('env.continuing', False),
+        # Score every finished training episode's side effects (the
+        # reference's exhaustive behavior, safelife_env.py:183-193)
+        # instead of sampling one per report. Affordable at
+        # validation-scale batches only.
+        exhaustive_se=config.setdefault(
+            'side_effect.exhaustive_logging', False),
     )
 
     training_logger = SafeLifeLogger(

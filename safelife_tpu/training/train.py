@@ -11,6 +11,7 @@ import logging
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..env import env as E, wrappers as W
@@ -89,6 +90,54 @@ def _sampled_side_effects(ep_samples, bundle, key):
         out["side_effects." + name] = \
             float(emd) / max(float(inaction_total), 1.0)
     return out
+
+
+def _exhaustive_side_effects(ep_samples, bundle, env_cfg, key):
+    """Score EVERY finished episode captured this chunk.
+
+    Returns {flattened-row-index: side-effect dict} keyed the same way
+    EpisodeCollector iterates the flattened episode records. Occupancy
+    rollouts for all episodes run as one device batch (padded to
+    power-of-two buckets so the jit cache sees a handful of shapes, not
+    one per chunk); the EMD scoring is per-episode host work.
+    """
+    found = np.asarray(ep_samples["found"])
+    hits = np.nonzero(found)[0]
+    if not len(hits):
+        return {}
+    n = len(hits)
+    bucket = 1 << (n - 1).bit_length()
+    pad = np.concatenate([hits, np.repeat(hits[:1], bucket - n)])
+    init_b = np.asarray(ep_samples["init_board"])[pad]
+    fin_b = np.asarray(ep_samples["final_board"])[pad]
+    steps = np.asarray(ep_samples["num_steps"])[pad]
+    sp = np.asarray(ep_samples["spawn_prob"])[pad]
+    num_samples = 1000
+    inaction, action = runner.batched_occupancy(
+        jnp.asarray(init_b), jnp.asarray(fin_b), jnp.asarray(steps),
+        jnp.asarray(sp), key, num_samples=num_samples,
+        max_pre_steps=env_cfg.time_limit)
+    inaction = np.asarray(inaction)
+    action = np.asarray(action)
+    out = {}
+    for j, lane in enumerate(hits):
+        out[int(lane)] = runner.episode_side_effects(
+            init_b[j], fin_b[j], int(steps[j]), float(sp[j]),
+            inaction[j], action[j], num_samples,
+            side_effect_weights=bundle.side_effect_weights)
+    return out
+
+
+def _summarize_se_map(se_map):
+    """Mean weighted side-effect fraction over the chunk's episodes."""
+    if not se_map:
+        return None
+    fracs = []
+    for se in se_map.values():
+        emd, inaction_total = se.get("total", (0.0, 0.0))
+        fracs.append(float(emd) / max(float(inaction_total), 1.0))
+    return {"side_effects_mean": float(np.mean(fracs)),
+            "side_effects_episodes": float(len(fracs))}
 
 
 def eval_params(mesh, state):
@@ -260,6 +309,7 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
     collector = EpisodeCollector(
         bundle.training_logger,
         level_meta=bundle.pool_manager.level_meta())
+    se_map = {}
     steps_per_iter = ppo_cfg.steps_per_env * batch_size
     next_report = report_interval
     next_test = test_interval
@@ -279,12 +329,27 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
         # batch_size is global, so the step accounting is fleet-wide
         # already.
         episodes = M.gather_episodes(metrics.pop("episodes"))
+        ep_samples = M.gather_episodes(metrics.pop("ep_samples"))
+        if wcfg.exhaustive_se:
+            # Per-lane capture: flatten [chunk_steps, B, ...] the same
+            # way the episode records were flattened so row indices
+            # align, then score every finished episode (the reference's
+            # per-episode behavior, safelife_env.py:183-193) and attach
+            # the results to the episode log through the collector.
+            ep_samples = {
+                k2: np.asarray(v).reshape((-1,) + np.asarray(v).shape[2:])
+                for k2, v in ep_samples.items()}
+            if M.is_logging_host():
+                key, kse = jax.random.split(key)
+                se_map = _exhaustive_side_effects(
+                    ep_samples, bundle, env_cfg, kse)
+                collector.side_effects_fn = \
+                    lambda lane, info: se_map.get(int(lane))
         collector.observe(
             episodes, batch_steps=steps_per_iter * iters_per_chunk,
             # Non-zero hosts only refresh curriculum/last-episode state;
             # the log files belong to host 0.
             record_only=not M.is_logging_host())
-        ep_samples = M.gather_episodes(metrics.pop("ep_samples"))
         n = int(pstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
 
@@ -328,7 +393,10 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
                 # Scalar logging and its occupancy/EMD sampling are host
                 # 0's job; other hosts would duplicate the work and
                 # corrupt the shared log files.
-                se = _sampled_side_effects(ep_samples, bundle, key)
+                if wcfg.exhaustive_se:
+                    se = _summarize_se_map(se_map)
+                else:
+                    se = _sampled_side_effects(ep_samples, bundle, key)
                 if se is not None:
                     m.update(se)
                 bundle.training_logger.log_scalars(m, n, "ppo")

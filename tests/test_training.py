@@ -460,3 +460,72 @@ class TestReplayAssembly:
         out = self._run([1.0, 2.0, 4.0], [False, False, True],
                         valid=[False, False, False])
         assert len(out["action"]) == 0
+
+
+class TestContinuingAndExhaustiveSE:
+    def test_continuing_masks_done_at_learner_boundary(self):
+        """ContinuingEnv parity (reference env_wrappers.py:101-118): with
+        env.continuing, the learner-visible done only fires on times_up;
+        lanes still auto-reset underneath."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from safelife_tpu.env import env as E, wrappers as W
+
+        config.clear()
+        config["env_type"] = "append-still"
+        config["env.continuing"] = True
+        bundle = build_environments(config, num_envs=4, pool_size=2,
+                                    procgen_workers=0)
+        assert bundle.wrapper_cfg.continuing
+        cfg = dataclasses.replace(bundle.env_cfg, time_limit=5)
+        wcfg = bundle.wrapper_cfg
+        pool = bundle.pool_manager.pool
+        key = jax.random.PRNGKey(0)
+        ws, obs = W.reset(cfg, wcfg, pool, key, 4)
+        saw_inner_done = saw_timesup_done = False
+        for t in range(12):
+            key, ka, ks = jax.random.split(key, 3)
+            acts = jax.random.randint(ka, (4, pool.num_agents), 0, 9,
+                                      jnp.int32)
+            ws, obs, reward, done, info = W.step(cfg, wcfg, pool, ws,
+                                                 acts, ks)
+            done = np.asarray(done)
+            times_up = np.asarray(info["times_up"])
+            inner_done = np.asarray(info["done"])
+            #
+
+            # learner-visible done implies times_up, always
+            assert not (done & ~times_up[:, None]).any()
+            saw_inner_done |= bool((inner_done & ~times_up[:, None]).any())
+            saw_timesup_done |= bool(done.any())
+        # time_limit=5 over 12 steps guarantees times_up fired at least
+        # twice per lane.
+        assert saw_timesup_done
+
+    def test_exhaustive_se_logs_every_episode(self, tmp_path):
+        """side_effect.exhaustive_logging scores every finished episode
+        (reference behavior, safelife_env.py:183-193) and attaches the
+        results to the episode log records."""
+        import dataclasses
+        import json
+        import os
+
+        config.clear()
+        config["env_type"] = "append-still"
+        config["side_effect.exhaustive_logging"] = True
+        bundle = build_environments(config, data_dir=str(tmp_path),
+                                    num_envs=4, pool_size=2,
+                                    procgen_workers=0)
+        assert bundle.wrapper_cfg.exhaustive_se
+        bundle.env_cfg = dataclasses.replace(bundle.env_cfg, time_limit=20)
+        T.train_ppo(bundle, total_steps=700, batch_size=4, seed=0,
+                    data_dir=None, report_interval=200)
+        logfile = os.path.join(str(tmp_path), "training-log.json")
+        episodes = json.load(open(logfile))
+        # time_limit 20 at batch 4 x 700 steps -> many finished episodes,
+        # every one carrying its own side-effect scores.
+        assert len(episodes) >= 4
+        assert all("side_effects" in ep for ep in episodes)
+        assert all("total" in ep["side_effects"] for ep in episodes)
