@@ -23,6 +23,9 @@ ORIENTATION = {
     "FORWARD": 4, "BACKWARD": 6,
 }
 
+#: (dy, dx) unit step for each absolute orientation (y grows downward).
+DIRECTION_VECTORS = ((-1, 0), (0, 1), (1, 0), (0, -1))
+
 CellTypes = C.CellTypes
 
 
@@ -221,58 +224,90 @@ class SafeLifeGame:
             self.game_over = action
         return 0
 
+    # The edit-DSL vocabulary. The command strings and cell-name tables
+    # are the interactive editor's wire format (shared with the reference
+    # editor's keymaps, safelife_game.py:399-427, so recordings/macros
+    # stay interchangeable); the dispatch below is handler-table based.
+    EDIT_OBJECTS = {
+        'EMPTY': C.EMPTY, 'LIFE': C.LIFE, 'HARD LIFE': C.ALIVE,
+        'WALL': C.WALL, 'CRATE': C.CRATE, 'SPAWNER': C.SPAWNER,
+        'HARD SPAWNER': C.HARD_SPAWNER, 'EXIT': C.LEVEL_EXIT,
+        'ICECUBE': C.ICE_CUBE, 'PLANT': C.PLANT, 'TREE': C.TREE,
+        'FOUNTAIN': C.FOUNTAIN, 'PARASITE': C.PARASITE,
+        'WEED': C.WEED, 'AGENT': C.PLAYER,
+    }
+    EDIT_TOGGLES = {
+        "AGENT": C.AGENT, "ALIVE": C.ALIVE, "PUSHABLE": C.PUSHABLE,
+        "PULLABLE": C.PULLABLE, "DESTRUCTIBLE": C.DESTRUCTIBLE,
+        "FROZEN": C.FROZEN, "PRESERVING": C.PRESERVING,
+        "INHIBITING": C.INHIBITING, "SPAWNING": C.SPAWNING,
+        "EXIT": C.EXIT,
+    }
+
+    # -- edit-command handlers (each: (board, argument) -> message|None) --
+
+    def _edit_move_cursor(self, board, arg):
+        dy, dx = DIRECTION_VECTORS[ORIENTATION[arg]]
+        y, x = self.edit_loc
+        self.edit_loc = ((y + dy) % board.shape[0],
+                         (x + dx) % board.shape[1])
+
+    def _edit_put(self, board, arg):
+        cell = self.EDIT_OBJECTS[arg]
+        board[self.edit_loc] = cell | (self.edit_color if cell else 0)
+
+    def _edit_cycle_color(self, board, step):
+        self.edit_color = (self.edit_color + step * C.COLOR_R) \
+            & C.RAINBOW_COLOR
+        return "EDIT COLOR: " + self.edit_color_name
+
+    def _edit_apply_color(self, board, arg):
+        board[self.edit_loc] = \
+            (board[self.edit_loc] & ~C.RAINBOW_COLOR) | self.edit_color
+
+    def _edit_toggle(self, board, arg):
+        board[self.edit_loc] ^= self.EDIT_TOGGLES[arg]
+
+    def _edit_revert(self, board, arg):
+        if not self.revert():
+            return "No saved state; cannot revert."
+
+    def _edit_end_level(self, board, command):
+        self.game_over = command
+
     def execute_edit(self, command, board=None):
-        """Board editing commands (parity: safelife_game.py:391-462)."""
-        named_objects = {
-            'EMPTY': C.EMPTY, 'LIFE': C.LIFE, 'HARD LIFE': C.ALIVE,
-            'WALL': C.WALL, 'CRATE': C.CRATE, 'SPAWNER': C.SPAWNER,
-            'HARD SPAWNER': C.HARD_SPAWNER, 'EXIT': C.LEVEL_EXIT,
-            'ICECUBE': C.ICE_CUBE, 'PLANT': C.PLANT, 'TREE': C.TREE,
-            'FOUNTAIN': C.FOUNTAIN, 'PARASITE': C.PARASITE,
-            'WEED': C.WEED, 'AGENT': C.PLAYER,
-        }
-        toggles = {
-            "AGENT": C.AGENT, "ALIVE": C.ALIVE, "PUSHABLE": C.PUSHABLE,
-            "PULLABLE": C.PULLABLE, "DESTRUCTIBLE": C.DESTRUCTIBLE,
-            "FROZEN": C.FROZEN, "PRESERVING": C.PRESERVING,
-            "INHIBITING": C.INHIBITING, "SPAWNING": C.SPAWNING,
-            "EXIT": C.EXIT,
-        }
+        """Run one board-editing DSL command; returns a status message or
+        None. Unknown commands are ignored (but still refresh the derived
+        state, like the reference editor)."""
         if command.startswith("GOALS "):
             rval = self.execute_edit(command[6:], self.goals)
             self._static_goals = None
             return rval
         if board is None:
             board = self.board
-        loc = self.edit_loc
-        rval = None
-        if command.startswith("MOVE "):
-            direction = ORIENTATION[command[5:]]
-            if direction % 2 == 0:
-                d = np.array([direction - 1, 0])
-            else:
-                d = np.array([0, 2 - direction])
-            self.edit_loc = tuple((np.array(loc) + d) % board.shape)
-        elif command.startswith("PUT ") and command[4:] in named_objects:
-            board[loc] = named_objects[command[4:]]
-            if board[loc]:
-                board[loc] |= self.edit_color
-        elif command == "NEXT EDIT COLOR":
-            self.edit_color = (self.edit_color + C.COLOR_R) & C.RAINBOW_COLOR
-            rval = "EDIT COLOR: " + self.edit_color_name
-        elif command == "PREVIOUS EDIT COLOR":
-            self.edit_color = (self.edit_color - C.COLOR_R) & C.RAINBOW_COLOR
-            rval = "EDIT COLOR: " + self.edit_color_name
-        elif command == "APPLY EDIT COLOR":
-            board[loc] &= ~C.RAINBOW_COLOR
-            board[loc] |= self.edit_color
-        elif command.startswith("TOGGLE ") and command[7:] in toggles:
-            board[loc] ^= toggles[command[7:]]
-        elif command == "REVERT":
-            if not self.revert():
-                rval = "No saved state; cannot revert."
-        elif command in ("ABORT LEVEL", "PREV LEVEL", "NEXT LEVEL"):
-            self.game_over = command
+
+        verb, _, arg = command.partition(" ")
+        if verb == "MOVE" and ORIENTATION.get(arg, 4) < 4:
+            handler = self._edit_move_cursor
+        elif verb == "PUT" and arg in self.EDIT_OBJECTS:
+            handler = self._edit_put
+        elif verb == "TOGGLE" and arg in self.EDIT_TOGGLES:
+            handler = self._edit_toggle
+        else:
+            handler, arg = {
+                "NEXT EDIT COLOR": (self._edit_cycle_color, +1),
+                "PREVIOUS EDIT COLOR": (self._edit_cycle_color, -1),
+                "APPLY EDIT COLOR": (self._edit_apply_color, None),
+                "REVERT": (self._edit_revert, None),
+                "ABORT LEVEL": (self._edit_end_level, command),
+                "PREV LEVEL": (self._edit_end_level, command),
+                "NEXT LEVEL": (self._edit_end_level, command),
+            }.get(command, (None, None))
+
+        rval = handler(board, arg) if handler else None
+
+        # Edits invalidate every derived quantity: censuses, the points
+        # table's agent axis, exit bookkeeping, and agent locations.
         self._needs_new_counts = True
         if len(self.points_table) != len(self.agent_locs):
             self.reset_points_table()

@@ -147,37 +147,55 @@ class AsyncGame(SafeLifeGame):
                 tuple(int(v) for v in row) for row in
                 np.asarray(data['energy_rules']))
 
+    def _live_prob_table(self, n_neighbors):
+        """P(site ends alive | was_dead/alive, #alive nbrs, #spawner nbrs).
+
+        The flip probability depends on the site only through three small
+        integers, so the whole rule collapses into one precomputed
+        [2, n+1, n+1] table: a thermal acceptance ``0.5 + tanh(H/T)/2``
+        of the energy gain for living, compounded toward life once per
+        spawning neighbor (each contributes an independent spawn_prob
+        chance).
+        """
+        rules = np.asarray(self.energy_rules, float)  # [2, n+1]
+        beta = 1.0 / max(1e-20, self.temperature)
+        p_thermal = 0.5 + 0.5 * np.tanh(rules * beta)
+        # Row 0 applies to live sites, row 1 to dead sites.
+        spawn_boost = (1.0 - self.spawn_prob) ** np.arange(n_neighbors + 1)
+        return 1.0 - (1.0 - p_thermal[:, :, None]) * spawn_boost
+
     def advance_board(self):
         self.num_steps += 1
         self._needs_new_counts = True
         board = self.board
-        rules = self.energy_rules
         h, w = board.shape
-        beta = 1.0 / max(1e-20, self.temperature)
-        n_neighbors = len(rules[0]) - 1
+        n_neighbors = len(self.energy_rules[0]) - 1
         if n_neighbors not in _NEIGHBORHOODS:
             raise RuntimeError("async rules must have length 5, 7, or 9")
-        neighborhood = _NEIGHBORHOODS[n_neighbors]
+        # Flat-index neighbor offsets for the chosen neighborhood, and the
+        # per-(state, counts) live-probability table.
+        dy, dx = np.nonzero(_NEIGHBORHOODS[n_neighbors])
+        dy, dx = dy - 1, dx - 1
+        p_live = self._live_prob_table(n_neighbors)
+
         rng = get_rng()
-        for _ in range(int(board.size * self.cells_per_update)):
-            x = int(rng.integers(w))
-            y = int(rng.integers(h))
-            if board[y, x] & C.FROZEN:
+        n_updates = int(board.size * self.cells_per_update)
+        # All site coordinates drawn up front (one vectorized draw); the
+        # commits stay strictly sequential — update k sees update k-1's
+        # write, which is what makes the dynamics asynchronous.
+        sites = rng.integers(0, (h, w), size=(n_updates, 2))
+        for y, x in sites:
+            site = board[y, x]
+            if site & C.FROZEN:
                 continue
-            ys = (np.arange(y - 1, y + 2) % h)[:, None]
-            xs = (np.arange(x - 1, x + 2) % w)[None, :]
-            neighbors = board[ys, xs] * neighborhood
-            alive_neighbors = int(((neighbors & C.ALIVE) > 0).sum())
-            spawn_neighbors = int(((neighbors & C.SPAWNING) > 0).sum())
-            if (neighbors & C.FREEZING).any():
+            nbrs = board[(y + dy) % h, (x + dx) % w]
+            if (nbrs & C.FREEZING).any():
                 continue
-            if board[y, x] & C.ALIVE:
-                H = rules[0][alive_neighbors]
-            else:
-                H = rules[1][alive_neighbors]
-            P = 0.5 + 0.5 * np.tanh(H * beta)
-            P = 1 - (1 - P) * (1 - self.spawn_prob) ** spawn_neighbors
-            board[y, x] = C.LIFE if coinflip(P) else C.EMPTY
+            n_alive = int(((nbrs & C.ALIVE) > 0).sum())
+            n_spawn = int(((nbrs & C.SPAWNING) > 0).sum())
+            was_alive = 0 if site & C.ALIVE else 1
+            p = p_live[was_alive, n_alive, n_spawn]
+            board[y, x] = C.LIFE if coinflip(p) else C.EMPTY
 
 
 def advance_board_general(board, key, spawn_prob, born_rule=(3,),
