@@ -431,24 +431,40 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
 def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
               data_dir=None, report_interval=4096,
               checkpoint_interval=100_000):
-    """Train DQN to ``total_steps`` env steps."""
-    if jax.process_count() > 1:
-        # The replay buffer would need cross-host sharding to scale; not
-        # implemented yet (PPO is the multi-host path).
-        raise NotImplementedError(
-            "multi-host DQN is not supported; train DQN single-host or "
-            "use PPO for fleet runs")
+    """Train DQN to ``total_steps`` env steps.
+
+    Multi-process runs train one global SPMD program, like PPO: env
+    lanes (and their per-lane n-step assembly rings) shard over every
+    device of every host; the learner AND the replay buffer replicate.
+    Replicating replay exceeds the reference (single-device torch) and
+    is cheap at DQN scale: inserting a global batch's rows into the
+    replicated buffer costs one row-allgather per step (~KBs over
+    ICI/DCN), sampling reads the local replica, and identical sample
+    keys keep every replica's optimizer step bitwise-identical.
+    """
     cfg = build_config(dqn_mod.DQNConfig, "dqn")
     env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
     key = jax.random.PRNGKey(seed)
     model, dummy_obs, obs_shape, obs_dtype = build_model(bundle, "dqn")
     key, kinit, kreset = jax.random.split(key, 3)
     params = model.init(kinit, dummy_obs)
+    mesh = M.training_mesh()
     pool = bundle.pool_manager.pool
-    # One n-step assembly ring per flattened lane x agent slot.
+    # One n-step assembly ring per flattened lane x agent slot;
+    # batch_size is the GLOBAL lane count.
     dstate = dqn_mod.init_dqn_state(
         cfg, params, batch_size * pool.num_agents, obs_shape, obs_dtype)
     ws, obs = W.reset(env_cfg, wcfg, pool, kreset, batch_size)
+    if mesh is not None:
+        if batch_size % len(jax.devices()):
+            raise ValueError(
+                "global batch_size %d must divide over %d global devices"
+                % (batch_size, len(jax.devices())))
+        ws = M.global_batch(jax.device_get(ws), mesh)
+        obs = M.global_batch(jax.device_get(obs), mesh)
+        traj = M.global_batch(jax.device_get(dstate.traj), mesh)
+        dstate = M.global_replicated(jax.device_get(
+            dstate.replace(traj=None)), mesh).replace(traj=traj)
 
     ckpt = data_dir and CheckpointManager(
         data_dir, interval=checkpoint_interval)
@@ -463,7 +479,7 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
                      "opt_state": dstate.opt_state,
                      "num_steps": dstate.num_steps}
         restored, ws, robs, rpool, extra, _ = _restore_latest(
-            ckpt, learner_t, ws, bundle, env_cfg, mesh=None)
+            ckpt, learner_t, ws, bundle, env_cfg, mesh)
         if restored is not None:
             if robs is not None:
                 obs = robs
@@ -483,14 +499,17 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
     while int(dstate.num_steps) < total_steps:
         key, k = jax.random.split(key)
         pool = bundle.pool_manager.pool
+        if mesh is not None:
+            pool = M.global_replicated(pool, mesh)
         dstate, ws, obs, metrics = dqn_mod.train_chunk(
             env_cfg, wcfg, cfg, model.apply, pool,
             dstate, ws, obs, k, chunk, iters_per_chunk)
         episodes = M.gather_episodes(jax.device_get(metrics.pop("episodes")))
         if M.is_logging_host():
             collector.observe(
-                episodes, batch_steps=chunk * batch_size * iters_per_chunk
-                * jax.process_count())
+                episodes,
+                # batch_size is already the global lane count.
+                batch_steps=chunk * batch_size * iters_per_chunk)
         n = int(dstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
         bundle.pool_manager.refresh(2)
@@ -509,8 +528,15 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
         if n >= next_report:
             next_report = (n // report_interval + 1) * report_interval
             m = {k2: float(v) for k2, v in metrics.items()}
-            logger.info("n=%d: loss=%.3g eps=%.3f q=%.3g", n,
-                        m["loss"], m["epsilon"], m["q_model_mean"])
+            # Same replication invariant as PPO: multi-host replicas
+            # must agree bitwise on the parameters (they evolve through
+            # identical replicated optimizer steps on identical samples).
+            host_params = jax.device_get(dstate.params)
+            pcheck = float(sum(
+                np.abs(np.asarray(p, np.float64)).sum()
+                for p in jax.tree.leaves(host_params)))
+            logger.info("n=%d: loss=%.3g eps=%.3f q=%.3g pcheck=%.17g", n,
+                        m["loss"], m["epsilon"], m["q_model_mean"], pcheck)
             bundle.training_logger.log_scalars(m, n, "dqn")
     if ckpt:
         # Terminal state regardless of interval alignment (same contract

@@ -228,3 +228,44 @@ def test_two_process_global_mesh_training(tmp_path):
     assert by_step, "no training reports in output:\n" + out[-2000:]
     for step, vals in by_step.items():
         assert len(vals) == 2 and vals[0] == vals[1], (step, vals)
+
+
+def test_two_process_global_mesh_dqn(tmp_path):
+    """Fleet DQN: lanes + n-step rings shard fleet-wide; the learner and
+    the replay buffer replicate (inserts allgather the global batch's
+    rows; identical sample keys keep every replica's optimizer step
+    bitwise-identical). Asserts the same replication invariant as the
+    PPO fleet test."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = tmp_path / "run"
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = repo
+    port = _free_port()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "scripts/launch_multihost.py"),
+         "--local", "2", "--devices-per-proc", "2",
+         "--port", str(port), "--",
+         "train", str(data_dir), "-e", "append-still", "--algo", "dqn",
+         "--steps", "1200", "--batch", "8", "--skip-benchmark",
+         "-x", ('{"validation.num_levels": 0, "dqn.replay_initial": 256,'
+                ' "dqn.replay_size": 2048}')],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, start_new_session=True)
+    try:
+        out, _ = proc.communicate(timeout=1200)
+    except subprocess.TimeoutExpired:
+        os.killpg(proc.pid, 9)
+        proc.communicate()
+        raise
+    assert proc.returncode == 0, out[-4000:]
+    import re
+    reports = re.findall(r"n=(\d+): loss=.*?pcheck=([\d.eE+-]+)", out)
+    by_step = {}
+    for step, pcheck in reports:
+        by_step.setdefault(step, []).append(pcheck)
+    assert by_step, "no training reports in output:\n" + out[-2000:]
+    for step, vals in by_step.items():
+        assert len(vals) == 2 and vals[0] == vals[1], (step, vals)
+    ckpts = os.listdir(data_dir / "checkpoints")
+    assert any(c.isdigit() for c in ckpts), ckpts
