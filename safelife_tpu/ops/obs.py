@@ -58,6 +58,15 @@ def use_obs_kernel(board_shape, batch, view_shape):
         return False
     if jax.default_backend() != "tpu":
         return False
+    # Fleet runs jit the env step under the global mesh with lane-sharded
+    # boards; pallas_call has no SPMD partitioning rule, so it would
+    # either fail to lower or force full-operand replication per step.
+    # Multi-host learners keep the XLA one-hot-matmul path (which
+    # partitions cleanly along the batch axis) until the kernel is
+    # wrapped in shard_map over the lane axis and tested on a real
+    # multi-chip mesh.
+    if jax.process_count() > 1:
+        return False
     h, w = board_shape
     vh, vw = view_shape
     # Views larger than the board tile it (rare, interactive-only);

@@ -33,6 +33,11 @@ class DQNConfig:
     replay_initial: int = 40000
     replay_size: int = 100000
     target_update_interval: int = 10000
+    # Reporting cadence in env steps (parity: a HyperParam on the
+    # reference's DQN, dqn.py:60; 256 there suits 96 serial lanes, 4096
+    # suits device-batched lanes). ``dqn.report_interval`` in the global
+    # config overrides, e.g. for short smoke/cluster runs.
+    report_interval: int = 4096
 
 
 def epsilon_schedule(cfg, step):

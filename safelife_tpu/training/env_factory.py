@@ -206,6 +206,31 @@ task_types = {
         'benchmark_levels': 'benchmarks/v1.0/navigation.npz',
     },
 
+    # The remaining three v1.0 benchmark suites have no training task in
+    # the reference registry (env_factory.py:177-258 stops at the six
+    # above); these entries follow its easy->target switching pattern so
+    # every frozen v1.0 archive is trainable and benchmarkable here.
+    'append-dynamic': {
+        'iter_class': SwitchingLevelIterator,
+        'train_levels': ['random/append-still-easy',
+                         'random/append-dynamic'],
+        'validation_levels': ['random/append-dynamic'],
+        'benchmark_levels': 'benchmarks/v1.0/append-dynamic.npz',
+    },
+    'prune-dynamic': {
+        'iter_class': SwitchingLevelIterator,
+        'train_levels': ['random/prune-still', 'random/prune-dynamic'],
+        'validation_levels': ['random/prune-dynamic'],
+        'benchmark_levels': 'benchmarks/v1.0/prune-dynamic.npz',
+    },
+    'prune-still-hard': {
+        'iter_class': SwitchingLevelIterator,
+        'train_levels': ['random/prune-still',
+                         'random/prune-still-hard'],
+        'validation_levels': ['random/prune-still-hard'],
+        'benchmark_levels': 'benchmarks/v1.0/prune-still-hard.npz',
+    },
+
     # Multi-agent tasks (parity: env_factory.py:219-258). No frozen
     # benchmark archives exist for these; validation levels double as the
     # evaluation suite, as in the reference.

@@ -43,6 +43,9 @@ class PPOConfig:
     vf_coef: float = 0.5
     eps_policy: float = 0.2
     eps_value: float = 0.2
+    # Reporting cadence in env steps (parity: ppo.py:40). Overridable as
+    # ``ppo.report_interval`` in the global config.
+    report_interval: int = 960
 
 
 @flax.struct.dataclass

@@ -252,11 +252,13 @@ def _restore_latest(ckpt, learner_t, ws, bundle, env_cfg, mesh):
 
 
 def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
-              data_dir=None, report_interval=960, test_interval=5e5,
+              data_dir=None, report_interval=None, test_interval=5e5,
               checkpoint_interval=100_000, pool_refresh=4,
               iters_per_chunk=8):
     """Train PPO to ``total_steps`` env steps. Returns (model, ppo_state)."""
     ppo_cfg = build_config(ppo_mod.PPOConfig, "ppo")
+    if report_interval is None:
+        report_interval = ppo_cfg.report_interval
     env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
     key = jax.random.PRNGKey(seed)
 
@@ -429,7 +431,7 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
 
 
 def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
-              data_dir=None, report_interval=4096,
+              data_dir=None, report_interval=None,
               checkpoint_interval=100_000):
     """Train DQN to ``total_steps`` env steps.
 
@@ -443,6 +445,8 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
     keys keep every replica's optimizer step bitwise-identical.
     """
     cfg = build_config(dqn_mod.DQNConfig, "dqn")
+    if report_interval is None:
+        report_interval = cfg.report_interval
     env_cfg, wcfg = bundle.env_cfg, bundle.wrapper_cfg
     key = jax.random.PRNGKey(seed)
     model, dummy_obs, obs_shape, obs_dtype = build_model(bundle, "dqn")

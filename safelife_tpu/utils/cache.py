@@ -31,6 +31,17 @@ def enable_compilation_cache():
     raw = os.environ.get("SAFELIFE_TPU_CACHE_DIR", "")
     if raw.strip().lower() in ("off", "0", "none", "disable", "disabled"):
         return None
+    # TPU-only: XLA:CPU cache entries are AOT host executables keyed
+    # loosely enough that an entry compiled on one machine can load on
+    # another with different CPU features and die with SIGILL (observed:
+    # a 2-process CPU training run silently hanging after
+    # "cpu_aot_loader.cc: ... doesn't match the machine type"). CPU
+    # compiles are seconds anyway; the 60s+ compile this cache exists
+    # for is the tunneled-TPU one.
+    platforms = (os.environ.get("JAX_PLATFORMS") or "").strip().lower()
+    if platforms and all(
+            p.strip() in ("cpu", "") for p in platforms.split(",")):
+        return None
     cache_dir = os.path.expanduser(raw or _DEFAULT_DIR)
     try:
         os.makedirs(cache_dir, exist_ok=True)

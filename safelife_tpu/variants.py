@@ -183,6 +183,16 @@ class AsyncGame(SafeLifeGame):
         # All site coordinates drawn up front (one vectorized draw); the
         # commits stay strictly sequential — update k sees update k-1's
         # write, which is what makes the dynamics asynchronous.
+        #
+        # Stream-parity note: the reference (safelife_game.py:896-936)
+        # draws x then y per site, interleaved with the acceptance
+        # coinflips, so same-seed AsyncGame trajectories diverge from it.
+        # That is intentional and out of scope — AsyncGame is an
+        # experimental variant with no golden tests or benchmark levels;
+        # the dynamics are distributionally identical (same uniform site
+        # law, same per-site acceptance probabilities). Everything with
+        # parity stakes (the CA kernel's stochastic spawns) stays
+        # bit-exact via the PCG64 emulator instead.
         sites = rng.integers(0, (h, w), size=(n_updates, 2))
         for y, x in sites:
             site = board[y, x]

@@ -28,6 +28,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (multi-process clusters, "
+             "C-engine golden builds, full training loops)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers: ``pytest tests/ -q`` is the fast edit-test loop
+    (every kernel-parity path via the NumPy oracles stays in it);
+    ``--runslow`` adds the C-engine golden builds, multi-process
+    clusters, and end-to-end training loops (full suite)."""
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(20260816)

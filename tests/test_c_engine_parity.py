@@ -174,6 +174,7 @@ class TestScoringParity:
         np.testing.assert_array_equal(ours, theirs)
 
 
+@pytest.mark.slow  # 50-level procgen distribution sweeps (~2.5 min)
 class TestProcgenDistributionParity:
     """Level-generation distributional parity vs the reference generator.
 

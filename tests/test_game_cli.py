@@ -97,6 +97,25 @@ class TestHostGame:
         # the active edit color (red, set above) is applied to placed cells
         assert g.goals[3, 3] == C.WALL | C.COLOR_R
 
+    def test_edit_move_matches_reference_quirks(self):
+        """MOVE FORWARD/BACKWARD jump the cursor 3/5 rows down and unknown
+        directions raise KeyError (reference safelife_game.py:431-436)."""
+        import pytest
+
+        g = make_game(0)
+        h, w = g.board.shape
+        g.edit_loc = (3, 3)
+        g.execute_edit("MOVE RIGHT")
+        assert g.edit_loc == (3, 4)
+        g.execute_edit("MOVE FORWARD")
+        assert g.edit_loc == ((3 + 3) % h, 4)
+        g.execute_edit("MOVE BACKWARD")
+        assert g.edit_loc == ((3 + 3 + 5) % h, 4)
+        with pytest.raises(KeyError):
+            g.execute_edit("MOVE SIDEWAYS")
+        # A bare unknown command is still silently ignored.
+        assert g.execute_edit("TELEPORT") is None
+
     def test_revert(self):
         g = make_game(5)
         b0 = g.board.copy()

@@ -249,7 +249,7 @@ def test_two_process_global_mesh_dqn(tmp_path):
          "train", str(data_dir), "-e", "append-still", "--algo", "dqn",
          "--steps", "1200", "--batch", "8", "--skip-benchmark",
          "-x", ('{"validation.num_levels": 0, "dqn.replay_initial": 256,'
-                ' "dqn.replay_size": 2048}')],
+                ' "dqn.replay_size": 2048, "dqn.report_interval": 320}')],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, start_new_session=True)
     try:

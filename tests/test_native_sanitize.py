@@ -18,6 +18,7 @@ _NATIVE = os.path.join(
 
 
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+@pytest.mark.slow  # sanitizer rebuild of the C++ annealer (~40s)
 def test_annealer_under_asan_ubsan(tmp_path):
     binary = str(tmp_path / "sanitize_check")
     build = subprocess.run(

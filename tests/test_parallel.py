@@ -47,6 +47,7 @@ def _crafted(n=4, size=(14, 14)):
 
 
 class TestShardedTraining:
+    @pytest.mark.slow  # full sharded-vs-replicated train iteration (~70s)
     def test_sharded_train_iteration_matches_replicated(self):
         mesh = M.make_mesh(8)
         pool = pack_levels(_crafted(2))

@@ -348,6 +348,7 @@ class TestDeviceAnnealer:
         assert abs(fill.mean() - np.mean(host_fill)) \
             < 0.25 * np.mean(host_fill)
 
+    @pytest.mark.slow  # whole-level distribution sweep (~30s)
     def test_batched_gen_levels_distribution(self):
         """gen_games_batched produces append-still-like levels whose
         life/goal populations match the host generator's."""
