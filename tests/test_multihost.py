@@ -230,6 +230,7 @@ def test_two_process_global_mesh_training(tmp_path):
         assert len(vals) == 2 and vals[0] == vals[1], (step, vals)
 
 
+@pytest.mark.slow
 def test_two_process_global_mesh_dqn(tmp_path):
     """Fleet DQN: lanes + n-step rings shard fleet-wide; the learner and
     the replay buffer replicate (inserts allgather the global batch's
