@@ -22,14 +22,16 @@ run() {
         > "$OUT/$name.log" 2>&1
     echo "=== $name done: $(date -u +%H:%M:%S)"
 }
+# One row per task first (partial completion still fills the table),
+# second-penalty rows after.
 run navigate 0 400
-run navigate 1.0 400
-run prune-spawn 0 1000
 run prune-spawn 1.0 400
-run append-dynamic 0 400
 run append-dynamic 1.0 400
-run prune-dynamic 0 400
 run prune-dynamic 1.0 400
-run prune-still-hard 0 400
 run prune-still-hard 1.0 400
+run prune-spawn 0 1000
+run navigate 1.0 400
+run append-dynamic 0 400
+run prune-dynamic 0 400
+run prune-still-hard 0 400
 echo ALL_DONE
