@@ -322,6 +322,7 @@ class LevelPoolManager:
         self._host_levels = levels
         self._slot = 0
         self._restored_meta = None
+        self._meta = None  # live per-slot metadata cache (level_meta)
         self._multihost = jax.process_count() > 1
         if not self._multihost:
             self.pool = self._pack(levels, pad_agents, pad_exits)
@@ -451,6 +452,8 @@ class LevelPoolManager:
                 "reward_needed": int(req[i][mask[i]].sum()),
                 "min_performance": float(mperf[i])}
             for i in range(avail.shape[0])}
+        if self._meta is not None:
+            self._meta.update(self._restored_meta)
         if not self._multihost:
             self.pool = packed
             return self.pool
@@ -466,19 +469,30 @@ class LevelPoolManager:
         return self.pool
 
     def level_meta(self):
-        """Per-slot metadata keyed by *pool* index (global in multi-host
-        runs: each host contributes full metadata for its own slice and
-        allgathered names for the others, so episode records referencing
-        foreign slots still resolve to a meaningful level name — e.g.
-        for curriculum stage matching)."""
+        """LIVE per-slot metadata keyed by *pool* index (global in
+        multi-host runs: each host contributes full metadata for its own
+        slice and allgathered names for the others, so episode records
+        referencing foreign slots still resolve to a meaningful level
+        name — e.g. for curriculum stage matching).
+
+        The returned dict is the manager's own cache: :meth:`refresh`
+        mutates the entries of swapped slots in place, so holders (the
+        training EpisodeCollector) always see the level currently in the
+        slot without re-asking. (Multi-host caveat: between full calls,
+        *foreign* hosts' slot names update only through the initial
+        allgather — scores for foreign slots always come from the episode
+        records themselves, which carry live per-lane denominators.)
+        """
+        if self._meta is not None:
+            return self._meta
         from ..training.runner import level_metadata
 
         local = level_metadata(self._host_levels)
         if not self._multihost:
             if self._restored_meta:
-                local = dict(local)
                 local.update(self._restored_meta)
-            return local
+            self._meta = local
+            return self._meta
         import jax
         from jax.experimental import multihost_utils
 
@@ -497,7 +511,8 @@ class LevelPoolManager:
             meta[offset + i] = m
         if self._restored_meta:
             meta.update(self._restored_meta)
-        return meta
+        self._meta = meta
+        return self._meta
 
     def refresh(self, max_new=8):
         """Pull up to ``max_new`` ready levels and swap them into the pool.
@@ -550,10 +565,27 @@ class LevelPoolManager:
             fresh = self._pack(kept, target.agent_locs.shape[-2],
                                target.exit_locs.shape[-2],
                                force_flags=flags)
-            idx = jnp.asarray(
-                [(self._slot - len(kept) + i) % len(self._host_levels)
-                 for i in range(len(kept))], jnp.int32)
+            slots = [(self._slot - len(kept) + i) % len(self._host_levels)
+                     for i in range(len(kept))]
+            idx = jnp.asarray(slots, jnp.int32)
             target = _swap_rows(target, fresh, idx)
+            if self._meta is not None:
+                # Keep the live metadata cache (level_meta) pointing at
+                # the levels now occupying the swapped slots. One batched
+                # host fetch of the already-derived scoring fields — not
+                # per-level device math.
+                from ..core.scoring import POINTS_ON_LEVEL_EXIT
+                av, rq, am, mp = (np.asarray(x) for x in _jax.device_get(
+                    (fresh.available_points, fresh.required_points,
+                     fresh.agent_mask, fresh.min_performance)))
+                for i, lv in enumerate(kept):
+                    self._meta[off + slots[i]] = {
+                        "name": lv.name or ("level-%d" % slots[i]),
+                        "reward_possible": float(
+                            (av[i] + POINTS_ON_LEVEL_EXIT)[am[i]].sum()),
+                        "reward_needed": int(rq[i][am[i]].sum()),
+                        "min_performance": float(mp[i]),
+                    }
         if self._multihost:
             # Collective: every host re-gathers the global pool every
             # refresh (even with nothing new locally), so the replicated

@@ -19,8 +19,26 @@ words; the unpack itself fuses into the first conv's input relayout.
 """
 
 import flax.linen as nn
+import jax.lax
 import jax.numpy as jnp
 import numpy as np
+
+#: Training-math precision names -> XLA dot/conv precision. TPU MXUs
+#: multiply f32 operands in bfloat16 by DEFAULT; the reference trains in
+#: strict float32 (torch CPU/CUDA), and PPO's clipped-ratio loss rides on
+#: small advantage signals that bf16 rounding perturbs (the 16-lane
+#: bf16-era learning-curve sweep underperformed the reference's torch
+#: stack). "float32" (HIGHEST) is therefore the training default;
+#: "tensorfloat32" (one extra bf16 pass) and "bfloat16" (raw MXU) are
+#: opt-in speedups via the ``train.precision`` config key.
+PRECISIONS = {
+    "float32": jax.lax.Precision.HIGHEST,
+    "highest": jax.lax.Precision.HIGHEST,
+    "tensorfloat32": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGH,
+    "bfloat16": jax.lax.Precision.DEFAULT,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 
 def unpack_obs(obs, channels):
@@ -36,12 +54,18 @@ def unpack_obs(obs, channels):
 class SafeLifeCNN(nn.Module):
     """Shared convolutional trunk. Works best for 25x25 views."""
 
+    precision: str = "float32"
+
     @nn.compact
     def __call__(self, x):
+        p = PRECISIONS[self.precision]
         x = jnp.swapaxes(x, -2, -3)  # (h, w, c) -> (w, h, c), parity quirk
-        x = nn.relu(nn.Conv(32, (5, 5), strides=(2, 2), padding="VALID")(x))
-        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID")(x))
-        x = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID")(x))
+        x = nn.relu(nn.Conv(32, (5, 5), strides=(2, 2), padding="VALID",
+                            precision=p)(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
+                            precision=p)(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID",
+                            precision=p)(x))
         return x.reshape(x.shape[:-3] + (-1,))
 
 
@@ -69,16 +93,18 @@ class SafeLifePolicyNetwork(nn.Module):
     dense_width: int = 512
     num_actions: int = 9
     unpack_channels: tuple = None  # set -> obs is packed int32 [.., vh, vw]
+    precision: str = "float32"
 
     @nn.compact
     def __call__(self, obs):
+        p = PRECISIONS[self.precision]
         if self.unpack_channels is not None:
             obs = unpack_obs(obs, self.unpack_channels)
-        x = SafeLifeCNN()(obs.astype(jnp.float32))
+        x = SafeLifeCNN(precision=self.precision)(obs.astype(jnp.float32))
         for _ in range(self.dense_depth):
-            x = nn.relu(nn.Dense(self.dense_width)(x))
-        value = nn.Dense(1)(x)[..., 0]
-        logits = nn.Dense(self.num_actions)(x)
+            x = nn.relu(nn.Dense(self.dense_width, precision=p)(x))
+        value = nn.Dense(1, precision=p)(x)[..., 0]
+        logits = nn.Dense(self.num_actions, precision=p)(x)
         policy = nn.softmax(logits, axis=-1)
         return value, policy
 
@@ -89,14 +115,17 @@ class SafeLifeQNetwork(nn.Module):
 
     num_actions: int = 9
     unpack_channels: tuple = None  # set -> obs is packed int32 [.., vh, vw]
+    precision: str = "float32"
 
     @nn.compact
     def __call__(self, obs):
+        p = PRECISIONS[self.precision]
         if self.unpack_channels is not None:
             obs = unpack_obs(obs, self.unpack_channels)
-        x = SafeLifeCNN()(obs.astype(jnp.float32))
-        adv = nn.Dense(self.num_actions)(nn.relu(nn.Dense(256)(x)))
-        val = nn.Dense(1)(nn.relu(nn.Dense(256)(x)))
+        x = SafeLifeCNN(precision=self.precision)(obs.astype(jnp.float32))
+        adv = nn.Dense(self.num_actions, precision=p)(
+            nn.relu(nn.Dense(256, precision=p)(x)))
+        val = nn.Dense(1, precision=p)(nn.relu(nn.Dense(256, precision=p)(x)))
         return val + adv - adv.mean(axis=-1, keepdims=True)
 
 

@@ -36,7 +36,13 @@ def build_model(bundle, algo):
     """
     unpack = tuple(bundle.obs_channels) if bundle.packed_obs else None
     cls = SafeLifePolicyNetwork if algo == "ppo" else SafeLifeQNetwork
-    model = cls(unpack_channels=unpack)
+    # Training-math precision (models/nets.py:PRECISIONS). "float32"
+    # matches the reference's strict-f32 torch math on the TPU MXU;
+    # "bfloat16" trades learning-curve parity for raw MXU throughput.
+    from .global_config import config as global_config
+    model = cls(unpack_channels=unpack,
+                precision=global_config.setdefault(
+                    "train.precision", "float32"))
     vh, vw = bundle.env_cfg.view_shape
     if bundle.packed_obs:
         return model, np.zeros((1, vh, vw), np.int32), (vh, vw), np.int32

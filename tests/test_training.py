@@ -233,6 +233,53 @@ class TestTrainingLoops:
             np.asarray(saved["pool"]["board"]))
 
 
+class TestTrainingPrecision:
+    def test_build_model_defaults_to_float32_math(self):
+        """Training nets default to strict-f32 MXU math: the reference
+        trains in torch float32, and bf16 default precision adds gradient
+        noise PPO's clipped-ratio loss is sensitive to (the bf16-era
+        16-lane learning-curve sweep underperformed the reference)."""
+        bundle = _bundle()
+        model, *_ = T.build_model(bundle, "ppo")
+        assert model.precision == "float32"
+        from safelife_tpu.models.nets import PRECISIONS
+        assert PRECISIONS[model.precision] == jax.lax.Precision.HIGHEST
+
+    def test_precision_config_override(self):
+        bundle = _bundle()
+        config["train.precision"] = "bfloat16"
+        model, *_ = T.build_model(bundle, "dqn")
+        assert model.precision == "bfloat16"
+        config.pop("train.precision")
+
+
+class TestLiveLevelMeta:
+    def test_refresh_updates_collector_metadata_in_place(self):
+        """level_meta() hands out a LIVE dict: refresh() rewrites the
+        entries of swapped slots, so the training EpisodeCollector's
+        level names/denominators track the pool instead of freezing at
+        the initial draw (observed: 1.2M-step runs logging only the 32
+        construction-time names)."""
+        from safelife_tpu.io.iterator import (LevelPoolManager,
+                                              SafeLifeLevelIterator)
+
+        it = SafeLifeLevelIterator('random/append-still-easy',
+                                   num_workers=0, seed=11)
+        pm = LevelPoolManager(it, pool_size=2)
+        meta = pm.level_meta()
+        assert meta is pm.level_meta()  # cached, not rebuilt
+        before = {i: dict(m) for i, m in meta.items()}
+        n = pm.refresh(2)
+        assert n == 2
+        after_names = {i: meta[i]["name"] for i in meta}
+        # Both slots were swapped; the spawn-key suffix increments, so
+        # the names must have moved past the construction-time draws.
+        assert after_names != {i: m["name"] for i, m in before.items()}
+        for i, lv in enumerate(pm._host_levels):
+            assert meta[i]["name"] == lv.name
+            assert meta[i]["reward_possible"] > 0
+
+
 class TestQNetworkEvaluation:
     def test_benchmark_with_q_network(self):
         """The episode runner must evaluate Q networks (single-array
