@@ -2,7 +2,9 @@
 
 The host path anneals one region at a time (~10 levels/s/worker); the
 device path (procgen/batched.py) runs N lockstep annealing chains per
-jit call, so levels/s scales with the batch until the chip saturates.
+jit call. MEASURED (TPU v5e, round 4): the device path peaks at ~0.5x
+ONE host worker (b=8/64/256 → 2.0/3.6/2.7 levels/s vs host ~7) — a
+documented negative result; see the procgen/batched.py docstring.
 
 Run on the real chip:
   PYTHONPATH=/root/repo:/root/.axon_site python bench/bench_procgen.py

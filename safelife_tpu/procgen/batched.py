@@ -17,6 +17,26 @@ Each level keeps its own ``numpy`` RNG stream for the host segments
 device chains draw from one JAX key per round. Output distribution
 matches the host generator (asserted statistically in
 tests/test_procgen.py); draw streams intentionally differ.
+
+MEASURED NEGATIVE RESULT (TPU v5e, bench/bench_procgen.py): the device
+path does NOT beat host generation and stays opt-in
+(``env.device_procgen``), like the Pallas physics appendix
+(ops/physics.py::use_fused_physics). On the real chip:
+
+    batch   8:  2.0 levels/s  (host single worker: 6.7)   0.30x
+    batch  64:  3.6 levels/s  (host single worker: 7.1)   0.51x
+    batch 256:  2.7 levels/s  (host single worker: 7.3)   0.37x
+
+Why it loses: each anneal round is a tiny-board (~15x15xN) Metropolis
+sweep — far below MXU/VPU saturation, so the per-call tunnel latency
+(25-50 ms) and the round-lockstep barrier dominate; stragglers serialize
+(one level needing 300+ rounds holds the whole batch), and re-batching
+by (shape, period) fragments the groups as levels diverge. Peak device
+rate (b=64) is ~0.5x ONE host worker; the default 4-worker host pool is
+~8x better still, and procgen already overlaps training via the async
+pool refresh, so generation latency is off the training path entirely.
+The implementation stays for its distribution-parity tests and as the
+substrate for any future on-device curriculum search.
 """
 
 import numpy as np
