@@ -462,9 +462,15 @@ def _batch_obs(cfg, pool, state):
     if ops.use_obs_kernel((h, w), b, cfg.view_shape):
         # Pallas recenter kernel (the TPU production path): per-lane
         # binary-decomposed cyclic rolls in VMEM instead of the one-hot
-        # matmuls — bit-exact, ~10x cheaper (see ops/obs.py).
+        # matmuls — bit-exact, ~10x cheaper (see ops/obs.py). On a
+        # multi-device mesh (fleet / multi-chip) the call goes through
+        # the lane-axis custom_partitioning wrapper so each device runs
+        # the kernel on its local lanes.
+        recenter = (ops.recenter_views_sharded
+                    if len(jax.devices()) > 1
+                    else ops.recenter_views_pallas)
         center = jnp.where(lv.agent_mask[..., None], state.agent_locs, 0)
-        views = ops.recenter_views_pallas(
+        views = recenter(
             state.board, state.goals, center[..., 0], center[..., 1],
             lv.exit_locs, lv.exit_locs_valid,
             view_shape=cfg.view_shape,

@@ -8,6 +8,7 @@ formulations in :mod:`safelife_tpu.core` remain the portable fallback
 
 from .obs import (  # noqa: F401
     recenter_views_pallas,
+    recenter_views_sharded,
     use_obs_kernel,
 )
 from .physics import (  # noqa: F401

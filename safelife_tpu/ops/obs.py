@@ -58,21 +58,20 @@ def use_obs_kernel(board_shape, batch, view_shape):
         return False
     if jax.default_backend() != "tpu":
         return False
-    # Fleet runs jit the env step under the global mesh with lane-sharded
-    # boards; pallas_call has no SPMD partitioning rule, so it would
-    # either fail to lower or force full-operand replication per step.
-    # Multi-host learners keep the XLA one-hot-matmul path (which
-    # partitions cleanly along the batch axis) until the kernel is
-    # wrapped in shard_map over the lane axis and tested on a real
-    # multi-chip mesh.
-    if jax.process_count() > 1:
-        return False
     h, w = board_shape
     vh, vw = view_shape
     # Views larger than the board tile it (rare, interactive-only);
     # keep that on the XLA path.
     if vh > h or vw > w or h * w > MAX_CELLS:
         return False
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # Sharded meshes (fleet or single-host multi-chip) route through
+        # recenter_views_sharded (custom_partitioning over the lane
+        # axis); every device's local lane block must satisfy the
+        # kernel's 8-row tiling for any lane-axis size dividing the
+        # device count.
+        return batch % (8 * n_dev) == 0
     return batch % 8 == 0
 
 
@@ -217,3 +216,79 @@ def recenter_views_pallas(board, goals, cy, cx, exit_locs, exit_valid,
     # The [:vh, :vw] slice fuses into the consumer (channel unpack or
     # the policy's input relayout).
     return views[..., :vh, :vw]
+
+
+# ---------------------------------------------------------------------------
+# SPMD form: lane-axis partitioning for sharded meshes.
+#
+# pallas_call has no built-in GSPMD partitioning rule, so under a
+# lane-sharded mesh (fleet training: env lanes sharded over every device
+# of every host) a bare kernel call would fail to lower or force
+# full-operand replication. Every operand and the result of the recenter
+# are lane-major (batch dim 0) and lanes are independent, so the correct
+# rule is trivial: partition everything along the lane axis and run the
+# kernel per-device on local lanes. ``jax.experimental.
+# custom_partitioning`` declares exactly that; XLA inserts nothing (the
+# operands already live lane-sharded) and each device's kernel sees its
+# local block. Verified on a virtual 8-device mesh in
+# tests/test_obs_kernel.py::test_sharded_matches_unsharded.
+
+
+@functools.lru_cache(maxsize=None)
+def _cp_recenter(view_shape, remove_white, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # A plain positional closure (custom_partitioning binds the
+    # signature and rejects leftover keyword arguments from a partial).
+    def local(board, goals, cy, cx, exit_locs, exit_valid):
+        return recenter_views_pallas(
+            board, goals, cy, cx, exit_locs, exit_valid,
+            view_shape=view_shape, remove_white_goals=remove_white,
+            interpret=interpret)
+
+    cp = custom_partitioning(local)
+
+    def _lane_axis(info):
+        spec = getattr(info.sharding, "spec", None)
+        if spec is None:
+            spec = PartitionSpec()
+        return spec[0] if len(spec) else None
+
+    def _shardings(mesh, ax, arg_infos):
+        args = tuple(
+            NamedSharding(
+                mesh, PartitionSpec(ax, *([None] * (len(a.shape) - 1))))
+            for a in arg_infos)
+        out = NamedSharding(mesh, PartitionSpec(ax, None, None, None))
+        return args, out
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, _lane_axis(arg_infos[0]), arg_infos)[1]
+
+    def partition(mesh, arg_infos, result_infos):
+        args, out = _shardings(mesh, _lane_axis(arg_infos[0]), arg_infos)
+        return mesh, local, out, args
+
+    cp.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # Shardy propagation rule (einsum-like): only the lane factor
+        # ``b`` is shared between operands and result, so lane-axis
+        # sharding propagates and everything else stays unsharded.
+        sharding_rule="b h w, b h w, b a, b a, b e t, b e -> b a i j")
+    return cp
+
+
+def recenter_views_sharded(board, goals, cy, cx, exit_locs, exit_valid,
+                           *, view_shape, remove_white_goals=True,
+                           interpret=False):
+    """:func:`recenter_views_pallas` under a lane-axis partitioning rule.
+
+    Same signature and bit-identical output; use from computations jitted
+    over a multi-device mesh (the env step only routes here when
+    ``len(jax.devices()) > 1`` — see ``use_obs_kernel``).
+    """
+    cp = _cp_recenter(tuple(view_shape), bool(remove_white_goals),
+                      bool(interpret))
+    return cp(board, goals, cy, cx, exit_locs, exit_valid)

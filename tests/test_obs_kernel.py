@@ -67,3 +67,32 @@ def test_no_exits():
         board, goals, center[..., 0], center[..., 1], el0, ev0,
         view_shape=(25, 25), interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_sharded_matches_unsharded():
+    """recenter_views_sharded (the custom_partitioning wrapper fleet/
+    multi-chip env steps route through) is bit-identical to the plain
+    kernel when jitted over a lane-sharded multi-device mesh, and the
+    output stays lane-sharded (no forced replication)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    rng = np.random.default_rng(99)
+    board, goals, locs, mask, el, ev = _case(rng, 64, 2, 2)
+    center = jnp.where(mask[..., None], locs, 0)
+    args = (board, goals, center[..., 0], center[..., 1], el, ev)
+    ref = ops.recenter_views_pallas(*args, view_shape=(25, 25),
+                                    interpret=True)
+
+    mesh = Mesh(np.array(jax.devices()), ("env",))
+    lane = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P("env", *([None] * (x.ndim - 1)))))
+    sharded_args = tuple(lane(x) for x in args)
+    f = jax.jit(lambda *a: ops.recenter_views_sharded(
+        *a, view_shape=(25, 25), interpret=True))
+    got = f(*sharded_args)
+    assert "env" in str(got.sharding)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
