@@ -17,6 +17,10 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+# Training-math precision (models/nets.py:PRECISIONS): float32 is the
+# training default (learning-curve parity); pass bfloat16 to measure the
+# raw-MXU upside this knob trades away.
+PRECISION = sys.argv[2] if len(sys.argv) > 2 else "float32"
 ITERS_PER_CHUNK = 8
 TIMED_CHUNKS = 5
 
@@ -45,7 +49,8 @@ def run_mode(packed):
     ppo_cfg = ppo.PPOConfig()
 
     model = SafeLifePolicyNetwork(
-        unpack_channels=TRAINING_CHANNELS if packed else None)
+        unpack_channels=TRAINING_CHANNELS if packed else None,
+        precision=PRECISION)
     dummy = (np.zeros((1, 25, 25), np.int32) if packed
              else np.zeros((1, 25, 25, 15), np.float32))
     params = model.init(jax.random.PRNGKey(0), dummy)
@@ -77,7 +82,8 @@ def run_mode(packed):
 
 def main():
     import jax
-    log("device:", jax.devices()[0].device_kind, "batch:", BATCH)
+    log("device:", jax.devices()[0].device_kind, "batch:", BATCH,
+        "precision:", PRECISION)
     packed = run_mode(True)
     unpacked = run_mode(False)
     log("packed/unpacked speedup: %.2fx" % (packed / unpacked))
