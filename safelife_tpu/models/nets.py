@@ -18,6 +18,8 @@ to (32, 128) byte tiles, while int32 [..., 25, 25] pads to (32, 128)
 words; the unpack itself fuses into the first conv's input relayout.
 """
 
+import functools
+
 import flax.linen as nn
 import jax.lax
 import jax.numpy as jnp
@@ -41,6 +43,34 @@ PRECISIONS = {
 }
 
 
+#: torch's nn.Conv2d/nn.Linear default weight init — kaiming_uniform with
+#: a=sqrt(5) — reduces to U(-1/sqrt(fan_in), +1/sqrt(fan_in)); biases draw
+#: from the same bound (torch/nn/modules/{conv,linear}.py reset_parameters).
+#: The reference never overrides it (training/models.py), so the init
+#: distribution is part of its learning recipe. variance_scaling with
+#: scale 1/3 gives exactly that uniform bound.
+_TORCH_KERNEL_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def _torch_bias_init(fan_in):
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax.random
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _init_kwargs(torch_init, fan_in):
+    """Layer init kwargs: torch-matched or flax defaults."""
+    if not torch_init:
+        return {}
+    return {"kernel_init": _TORCH_KERNEL_INIT,
+            "bias_init": _torch_bias_init(fan_in)}
+
+
 def unpack_obs(obs, channels):
     """Packed int32 views [..., vh, vw] -> float32 [..., vh, vw, C].
 
@@ -55,17 +85,19 @@ class SafeLifeCNN(nn.Module):
     """Shared convolutional trunk. Works best for 25x25 views."""
 
     precision: str = "float32"
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x):
         p = PRECISIONS[self.precision]
+        ik = functools.partial(_init_kwargs, self.torch_init)
         x = jnp.swapaxes(x, -2, -3)  # (h, w, c) -> (w, h, c), parity quirk
         x = nn.relu(nn.Conv(32, (5, 5), strides=(2, 2), padding="VALID",
-                            precision=p)(x))
+                            precision=p, **ik(25 * x.shape[-1]))(x))
         x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID",
-                            precision=p)(x))
+                            precision=p, **ik(9 * 32))(x))
         x = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID",
-                            precision=p)(x))
+                            precision=p, **ik(9 * 64))(x))
         return x.reshape(x.shape[:-3] + (-1,))
 
 
@@ -94,17 +126,22 @@ class SafeLifePolicyNetwork(nn.Module):
     num_actions: int = 9
     unpack_channels: tuple = None  # set -> obs is packed int32 [.., vh, vw]
     precision: str = "float32"
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, obs):
         p = PRECISIONS[self.precision]
+        ik = functools.partial(_init_kwargs, self.torch_init)
         if self.unpack_channels is not None:
             obs = unpack_obs(obs, self.unpack_channels)
-        x = SafeLifeCNN(precision=self.precision)(obs.astype(jnp.float32))
+        x = SafeLifeCNN(precision=self.precision,
+                        torch_init=self.torch_init)(obs.astype(jnp.float32))
         for _ in range(self.dense_depth):
-            x = nn.relu(nn.Dense(self.dense_width, precision=p)(x))
-        value = nn.Dense(1, precision=p)(x)[..., 0]
-        logits = nn.Dense(self.num_actions, precision=p)(x)
+            x = nn.relu(nn.Dense(self.dense_width, precision=p,
+                                 **ik(x.shape[-1]))(x))
+        value = nn.Dense(1, precision=p, **ik(x.shape[-1]))(x)[..., 0]
+        logits = nn.Dense(self.num_actions, precision=p,
+                          **ik(x.shape[-1]))(x)
         policy = nn.softmax(logits, axis=-1)
         return value, policy
 
@@ -116,16 +153,21 @@ class SafeLifeQNetwork(nn.Module):
     num_actions: int = 9
     unpack_channels: tuple = None  # set -> obs is packed int32 [.., vh, vw]
     precision: str = "float32"
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, obs):
         p = PRECISIONS[self.precision]
+        ik = functools.partial(_init_kwargs, self.torch_init)
         if self.unpack_channels is not None:
             obs = unpack_obs(obs, self.unpack_channels)
-        x = SafeLifeCNN(precision=self.precision)(obs.astype(jnp.float32))
-        adv = nn.Dense(self.num_actions, precision=p)(
-            nn.relu(nn.Dense(256, precision=p)(x)))
-        val = nn.Dense(1, precision=p)(nn.relu(nn.Dense(256, precision=p)(x)))
+        x = SafeLifeCNN(precision=self.precision,
+                        torch_init=self.torch_init)(obs.astype(jnp.float32))
+        f = x.shape[-1]
+        adv = nn.Dense(self.num_actions, precision=p, **ik(256))(
+            nn.relu(nn.Dense(256, precision=p, **ik(f))(x)))
+        val = nn.Dense(1, precision=p, **ik(256))(
+            nn.relu(nn.Dense(256, precision=p, **ik(f))(x)))
         return val + adv - adv.mean(axis=-1, keepdims=True)
 
 

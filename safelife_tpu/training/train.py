@@ -42,7 +42,12 @@ def build_model(bundle, algo):
     from .global_config import config as global_config
     model = cls(unpack_channels=unpack,
                 precision=global_config.setdefault(
-                    "train.precision", "float32"))
+                    "train.precision", "float32"),
+                # torch-matched weight/bias init distributions
+                # (models/nets.py:_TORCH_KERNEL_INIT) — the reference's
+                # init recipe; opt-out via train.torch_init: false.
+                torch_init=bool(global_config.setdefault(
+                    "train.torch_init", True)))
     vh, vw = bundle.env_cfg.view_shape
     if bundle.packed_obs:
         return model, np.zeros((1, vh, vw), np.int32), (vh, vw), np.int32

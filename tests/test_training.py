@@ -252,6 +252,26 @@ class TestTrainingPrecision:
         assert model.precision == "bfloat16"
         config.pop("train.precision")
 
+    def test_torch_matched_init(self):
+        """build_model defaults to the reference's (torch default) init
+        distributions: U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for weights
+        AND biases (torch reset_parameters; the reference never overrides
+        it), instead of flax's lecun_normal + zero biases."""
+        bundle = _bundle()
+        model, dummy, *_ = T.build_model(bundle, "ppo")
+        assert model.torch_init
+        params = model.init(jax.random.PRNGKey(0), dummy)
+        conv1 = params["params"]["SafeLifeCNN_0"]["Conv_0"]
+        k = np.asarray(conv1["kernel"])
+        fan_in = k.shape[0] * k.shape[1] * k.shape[2]
+        bound = 1.0 / np.sqrt(fan_in)
+        assert np.abs(k).max() <= bound + 1e-7
+        # Uniform (not truncated-normal): the extremes nearly reach the
+        # bound, and biases are non-zero draws from the same bound.
+        assert np.abs(k).max() > 0.9 * bound
+        b = np.asarray(conv1["bias"])
+        assert np.abs(b).max() <= bound + 1e-7 and np.abs(b).max() > 0
+
 
 class TestLiveLevelMeta:
     def test_refresh_updates_collector_metadata_in_place(self):
