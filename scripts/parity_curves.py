@@ -23,6 +23,7 @@ Usage:
 """
 
 import argparse
+import gzip
 import json
 import os
 
@@ -34,8 +35,12 @@ WINDOW = 50
 
 def load_episodes(run_dir):
     path = os.path.join(run_dir, "training-log.json")
-    with open(path) as f:
-        records = json.load(f)
+    if os.path.exists(path):
+        with open(path) as f:
+            records = json.load(f)
+    else:  # committed snapshot (scripts/snapshot_run.py)
+        with gzip.open(path + ".gz", "rt") as f:
+            records = json.load(f)
     lengths = np.array([r["length"] for r in records], dtype=np.int64)
     frac = np.array([r["reward"] / max(r["reward_possible"], 1)
                      for r in records], dtype=np.float64)

@@ -35,6 +35,10 @@ def main():
                   % os.path.basename(d.rstrip("/")))
             continue
         s = summarize_run_file(logfile)
+        if s is None:  # file exists but holds an empty episode list
+            print("| %s | (no benchmark data) | | |"
+                  % os.path.basename(d.rstrip("/")))
+            continue
         n = len(json.load(open(logfile)))
         print("| %s (%d eps) | %.3f | %.3f | %+.1f |" % (
             os.path.basename(d.rstrip("/")), n,
