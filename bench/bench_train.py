@@ -7,8 +7,12 @@ network; unpacked stores the uint8 [.., 25, 25, 15] channel tensors.
 
 Run on the real chip:
   PYTHONPATH=/root/repo:/root/.axon_site python bench/bench_train.py [batch]
+
+``--grid`` sweeps batch 1024/4096 x float32/bfloat16 x packed/unpacked
+and prints one JSON object to stdout (the ROOFLINE.md training table).
 """
 
+import json
 import sys
 import time
 
@@ -16,11 +20,13 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+GRID = "--grid" in sys.argv
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+BATCH = int(argv[0]) if argv else 1024
 # Training-math precision (models/nets.py:PRECISIONS): float32 is the
 # training default (learning-curve parity); pass bfloat16 to measure the
 # raw-MXU upside this knob trades away.
-PRECISION = sys.argv[2] if len(sys.argv) > 2 else "float32"
+PRECISION = argv[1] if len(argv) > 1 else "float32"
 ITERS_PER_CHUNK = 8
 TIMED_CHUNKS = 5
 
@@ -29,7 +35,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def run_mode(packed):
+def run_mode(packed, batch=None, precision=None):
+    batch = BATCH if batch is None else batch
+    precision = PRECISION if precision is None else precision
     import jax
 
     from safelife_tpu.env import env as E, wrappers as W
@@ -50,20 +58,21 @@ def run_mode(packed):
 
     model = SafeLifePolicyNetwork(
         unpack_channels=TRAINING_CHANNELS if packed else None,
-        precision=PRECISION)
+        precision=precision)
     dummy = (np.zeros((1, 25, 25), np.int32) if packed
              else np.zeros((1, 25, 25, 15), np.float32))
     params = model.init(jax.random.PRNGKey(0), dummy)
     pstate = ppo.init_ppo_state(ppo_cfg, params)
-    ws, obs = W.reset(env_cfg, wcfg, pool, jax.random.PRNGKey(1), BATCH)
+    ws, obs = W.reset(env_cfg, wcfg, pool, jax.random.PRNGKey(1), batch)
 
     name = "packed" if packed else "unpacked"
-    t0 = time.perf_counter()
+    compile_t0 = time.perf_counter()
     pstate, ws, obs, metrics = ppo.train_chunk(
         env_cfg, wcfg, ppo_cfg, model.apply, pool, pstate, ws, obs,
         jax.random.PRNGKey(2), ITERS_PER_CHUNK)
     jax.block_until_ready(pstate)
-    log("%s compile+warmup: %.1fs" % (name, time.perf_counter() - t0))
+    compile_s = time.perf_counter() - compile_t0
+    log("%s compile+warmup: %.1fs" % (name, compile_s))
 
     t0 = time.perf_counter()
     for i in range(TIMED_CHUNKS):
@@ -73,19 +82,36 @@ def run_mode(packed):
     jax.block_until_ready(pstate)
     dt = time.perf_counter() - t0
     steps = int(pstate.num_steps)
-    rate = (ppo_cfg.steps_per_env * BATCH * ITERS_PER_CHUNK
+    rate = (ppo_cfg.steps_per_env * batch * ITERS_PER_CHUNK
             * TIMED_CHUNKS) / dt
     log("%s: %.0f train env-steps/s (loss %.4f, %d total steps)"
         % (name, rate, float(metrics["loss"]), steps))
-    return rate
+    return rate, compile_s
 
 
 def main():
     import jax
+    if GRID:
+        out = {"device": jax.devices()[0].device_kind, "unit":
+               "train env-steps/s", "grid": []}
+        for batch in (1024, 4096):
+            for precision in ("float32", "bfloat16"):
+                for packed in (True, False):
+                    log("== batch %d %s %s" % (
+                        batch, precision,
+                        "packed" if packed else "unpacked"))
+                    rate, compile_s = run_mode(packed, batch, precision)
+                    out["grid"].append({
+                        "batch": batch, "precision": precision,
+                        "obs": "packed" if packed else "unpacked",
+                        "rate": round(rate),
+                        "compile_warmup_s": round(compile_s, 1)})
+        print(json.dumps(out))
+        return
     log("device:", jax.devices()[0].device_kind, "batch:", BATCH,
         "precision:", PRECISION)
-    packed = run_mode(True)
-    unpacked = run_mode(False)
+    packed, _ = run_mode(True)
+    unpacked, _ = run_mode(False)
     log("packed/unpacked speedup: %.2fx" % (packed / unpacked))
 
 

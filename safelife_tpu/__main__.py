@@ -219,7 +219,8 @@ def cmd_train(args):
                 exc)
 
     try:
-        bundle = build_environments(config, data_dir=args.data_dir)
+        bundle = build_environments(config, data_dir=args.data_dir,
+                                    num_envs=args.batch)
         if args.run_type == "inspect":
             # Parity: start-training.py:282-285 — envs/config built, then
             # an interactive shell for poking at them.

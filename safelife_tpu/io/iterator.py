@@ -320,6 +320,7 @@ class LevelPoolManager:
         self.pad_exits = pad_exits
         levels = [next(iterator) for _ in range(pool_size)]
         self._host_levels = levels
+        self._pending = []  # generated levels waiting for a free slot
         self._slot = 0
         self._restored_meta = None
         self._meta = None  # live per-slot metadata cache (level_meta)
@@ -514,13 +515,26 @@ class LevelPoolManager:
         self._meta = meta
         return self._meta
 
-    def refresh(self, max_new=8):
+    def refresh(self, max_new=8, in_use=None):
         """Pull up to ``max_new`` ready levels and swap them into the pool.
 
         With a worker-backed iterator this only consumes already-finished
         results; generation latency overlaps device compute. The device
         update is one jitted call (over a tunneled device, per-op
         dispatches made naive refreshes take seconds).
+
+        ``in_use`` is the set of pool slots currently referenced by live
+        lanes (global slot indices; the training loop reads them from
+        ``EnvState.level_idx`` between chunks). Slots in it are NEVER
+        overwritten: every env step re-gathers the slot's points table /
+        exit locations / required points by ``level_idx``
+        (env/env.py:lane_level), so swapping a slot under a mid-episode
+        lane silently re-scores the rest of its episode against a
+        different level — measured in the round-4 parity sweep as a
+        steady stream of zero-reward timeout episodes that depressed
+        final reward fraction ~0.36 -> ~0.23 vs the reference. Levels
+        with no free slot wait in ``self._pending`` for a later refresh.
+        ``in_use=None`` skips the guard (callers without live lanes).
 
         The pool's static guarantees (rows_packed/all_goals_static/
         spawner_free) are pinned at construction: they are baked into the
@@ -533,6 +547,7 @@ class LevelPoolManager:
 
         import jax.numpy as jnp
 
+        P = len(self._host_levels)
         new = []
         for _ in range(max_new):
             if self.iterator.num_workers > 0:
@@ -549,24 +564,59 @@ class LevelPoolManager:
             logging.getLogger(__name__).warning(
                 "dropped %d generated level(s) violating the pool's "
                 "static guarantees", len(new) - len(kept))
+        self._pending.extend(kept)
+        if len(self._pending) > max(4 * max_new, 32):
+            # Bound the wait queue; newest levels are as good as old ones.
+            self._pending = self._pending[-max(4 * max_new, 32):]
+
+        import jax as _jax
+        off = _jax.process_index() * P if self._multihost else 0
+        busy = np.zeros(P * (_jax.process_count() if self._multihost
+                             else 1), bool)
+        if in_use is not None:
+            busy[np.asarray(in_use, np.int64)] = True
+        if self._multihost:
+            # Lanes on any host may reference this host's slots (resets
+            # sample the whole global pool), so the busy mask is the OR
+            # across hosts. Unconditional collective: hosts disagree on
+            # how many levels they have pending, but every host must
+            # execute the same collective sequence every refresh.
+            from jax.experimental import multihost_utils
+            busy = np.asarray(
+                multihost_utils.process_allgather(busy)).any(axis=0)
+
+        # Victim slots: round-robin over this host's slice, skipping any
+        # slot a live lane references.
+        slots = []
+        probe = self._slot
+        for _ in range(P):
+            if len(slots) >= len(self._pending):
+                break
+            if not busy[off + probe]:
+                slots.append(probe)
+            probe = (probe + 1) % P
+        if self._pending and not slots:
+            logging.getLogger(__name__).info(
+                "level pool refresh deferred: all %d slots are in use "
+                "by live lanes (%d level(s) pending)", P,
+                len(self._pending))
+        kept = self._pending[:len(slots)]
+        self._pending = self._pending[len(slots):]
+        if slots:
+            self._slot = (slots[-1] + 1) % P
+
         target = self._local_pool if self._multihost else self.pool
         if kept:
-            import jax as _jax
-            off = (_jax.process_index() * len(self._host_levels)
-                   if self._multihost else 0)
-            for lv in kept:
-                self._host_levels[self._slot] = lv
+            for lv, s in zip(kept, slots):
+                self._host_levels[s] = lv
                 if self._restored_meta:
                     # The slot now holds a known fresh level again.
-                    self._restored_meta.pop(off + self._slot, None)
-                self._slot = (self._slot + 1) % len(self._host_levels)
+                    self._restored_meta.pop(off + s, None)
             flags = (target.rows_packed, target.all_goals_static,
                      target.spawner_free)
             fresh = self._pack(kept, target.agent_locs.shape[-2],
                                target.exit_locs.shape[-2],
                                force_flags=flags)
-            slots = [(self._slot - len(kept) + i) % len(self._host_levels)
-                     for i in range(len(kept))]
             idx = jnp.asarray(slots, jnp.int32)
             target = _swap_rows(target, fresh, idx)
             if self._meta is not None:
@@ -590,10 +640,32 @@ class LevelPoolManager:
             # Collective: every host re-gathers the global pool every
             # refresh (even with nothing new locally), so the replicated
             # pool stays identical fleet-wide.
+            from jax.experimental import multihost_utils
+
             from ..parallel import mesh as M
 
             self._local_pool = target
             self.pool = M.allgather_level_pool(target)
+            # Re-gather slot NAMES too (unconditional, same ordering on
+            # every host), patching the cached level_meta's *foreign*
+            # entries in place — other hosts' swaps would otherwise leave
+            # stale names behind for curriculum stage matching.
+            width = 64
+            enc = np.zeros((P, width), np.uint8)
+            for i, lv in enumerate(self._host_levels):
+                raw = (lv.name or "").encode()[:width]
+                enc[i, :len(raw)] = np.frombuffer(raw, np.uint8)
+            names = multihost_utils.process_allgather(enc).reshape(
+                -1, width)
+            if self._meta is not None:
+                for g, row in enumerate(names):
+                    if off <= g < off + P:
+                        continue  # own slots carry full local metadata
+                    if self._restored_meta and g in self._restored_meta:
+                        continue
+                    name = bytes(row[row != 0]).decode(errors="replace")
+                    self._meta.setdefault(g, {})["name"] = \
+                        name or ("level-%d" % g)
         elif kept:
             self.pool = target
         return len(kept)

@@ -159,6 +159,20 @@ def allgather_level_pool(pool):
                           spawner_free=bool(flags[2]))
 
 
+def addressable_values(x):
+    """This process's view of an array as one host ndarray.
+
+    Fully-addressable arrays (single-process, or replicated) fetch
+    whole; globally sharded arrays concatenate the local shards — the
+    right semantics for per-lane fields like ``EnvState.level_idx``
+    where each host only needs (and can only see) its own lanes.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        return np.concatenate(
+            [np.asarray(s.data) for s in x.addressable_shards])
+    return np.asarray(x)
+
+
 def gather_episodes(tree):
     """Materialize episode-record arrays fully on every host.
 

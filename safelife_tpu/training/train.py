@@ -366,7 +366,12 @@ def train_ppo(bundle, total_steps=6e6, batch_size=64, seed=0,
         n = int(pstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
 
-        bundle.pool_manager.refresh(pool_refresh)
+        # Live lanes pin the slots they are mid-episode on — refresh must
+        # never swap those (lane_level re-gathers per step; see
+        # LevelPoolManager.refresh). One tiny [B] readback per chunk.
+        bundle.pool_manager.refresh(
+            pool_refresh,
+            in_use=np.unique(M.addressable_values(ws.env.level_idx)))
 
         if ckpt:
             # `pool` is the pool this chunk's env state was stepped
@@ -527,7 +532,8 @@ def train_dqn(bundle, total_steps=6e6, batch_size=32, seed=0,
                 batch_steps=chunk * batch_size * iters_per_chunk)
         n = int(dstate.num_steps)
         bundle.training_logger.cumulative_stats["training_steps"] = n
-        bundle.pool_manager.refresh(2)
+        bundle.pool_manager.refresh(
+            2, in_use=np.unique(M.addressable_values(ws.env.level_idx)))
         if ckpt:
             ckpt.save_if_needed(
                 n, {"params": dstate.params,

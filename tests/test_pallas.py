@@ -131,3 +131,44 @@ def test_obs_kernel_matches_xla_compiled():
         board, goals, center[..., 0], center[..., 1], el, ev,
         view_shape=(25, 25))
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_obs_kernel_sharded_compiled_lowering():
+    """recenter_views_sharded under a REAL mesh with the compiled kernel.
+
+    The virtual-8-device CPU suite can only exercise the
+    custom_partitioning wrapper in interpret mode
+    (test_obs_kernel.py::test_sharded_matches_unsharded); this runs the
+    same wrapper through an actual Mosaic lowering on a TPU mesh (1-way
+    on a single chip — degenerate partitioning, but the
+    custom_partitioning partition/infer machinery and the compiled
+    kernel path are both engaged, which is what a multi-chip mesh runs
+    per-device). Kill switch for real multi-chip meshes until measured
+    there: SAFELIFE_TPU_OBS_KERNEL=0 (ops/obs.py::use_obs_kernel).
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from safelife_tpu import ops
+
+    rng = np.random.default_rng(9)
+    b, h, w, a, e = 64, 26, 26, 2, 2
+    board = jnp.asarray(rng.integers(0, 2 ** 16, (b, h, w)), jnp.int32)
+    goals = jnp.asarray(rng.integers(0, 2 ** 16, (b, h, w)), jnp.int32)
+    cy = jnp.asarray(rng.integers(0, h, (b, a)), jnp.int32)
+    cx = jnp.asarray(rng.integers(0, w, (b, a)), jnp.int32)
+    el = jnp.asarray(rng.integers(0, 26, (b, e, 2)), jnp.int32)
+    ev = jnp.asarray(rng.random((b, e)) < 0.7)
+
+    direct = ops.recenter_views_pallas(
+        board, goals, cy, cx, el, ev, view_shape=(25, 25))
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("env",))
+    lane = lambda x: jax.device_put(  # noqa: E731
+        x, NamedSharding(mesh, PartitionSpec(
+            "env", *([None] * (x.ndim - 1)))))
+    args = tuple(lane(x) for x in (board, goals, cy, cx, el, ev))
+    fn = jax.jit(lambda *xs: ops.recenter_views_sharded(
+        *xs, view_shape=(25, 25)))
+    with mesh:
+        got = fn(*args)
+    np.testing.assert_array_equal(np.asarray(direct), np.asarray(got))

@@ -248,9 +248,13 @@ class TestTrainingPrecision:
     def test_precision_config_override(self):
         bundle = _bundle()
         config["train.precision"] = "bfloat16"
-        model, *_ = T.build_model(bundle, "dqn")
-        assert model.precision == "bfloat16"
-        config.pop("train.precision")
+        try:
+            model, *_ = T.build_model(bundle, "dqn")
+            assert model.precision == "bfloat16"
+        finally:
+            # An assert mid-test must not leak bf16 into the shared
+            # global config for every later-collected training test.
+            config.pop("train.precision", None)
 
     def test_torch_matched_init(self):
         """build_model defaults to the reference's (torch default) init
@@ -298,6 +302,62 @@ class TestLiveLevelMeta:
         for i, lv in enumerate(pm._host_levels):
             assert meta[i]["name"] == lv.name
             assert meta[i]["reward_possible"] > 0
+
+
+class TestRefreshInUseGuard:
+    def test_refresh_never_swaps_in_use_slots(self):
+        """Slots referenced by live lanes must survive refresh untouched.
+
+        Every env step re-gathers the slot's points table / exits /
+        required points by level_idx (env.lane_level), so swapping an
+        in-use slot silently re-scores the rest of that lane's episode
+        against a different level (the round-4 parity sweep's
+        zero-reward timeout episodes). Free slots still rotate; levels
+        with no free slot wait in _pending."""
+        from safelife_tpu.io.iterator import (LevelPoolManager,
+                                              SafeLifeLevelIterator)
+
+        it = SafeLifeLevelIterator('random/append-still-easy',
+                                   num_workers=0, seed=13)
+        pm = LevelPoolManager(it, pool_size=4)
+        held = [np.asarray(pm.pool.board[i]) for i in range(4)]
+
+        n = pm.refresh(2, in_use=np.asarray([0, 2]))
+        assert n == 2
+        board = np.asarray(pm.pool.board)
+        assert (board[0] == held[0]).all()      # busy: untouched
+        assert (board[2] == held[2]).all()
+        assert not (board[1] == held[1]).all()  # free: swapped
+        assert not (board[3] == held[3]).all()
+        # Metadata tracks the swap for free slots only.
+        meta = pm.level_meta()
+        for i in range(4):
+            assert meta[i]["name"] == pm._host_levels[i].name
+
+        # All slots busy: generated levels wait in _pending, nothing
+        # is overwritten, and the next refresh with free slots places
+        # the pending levels before pulling new ones.
+        held = [np.asarray(pm.pool.board[i]) for i in range(4)]
+        n = pm.refresh(2, in_use=np.arange(4))
+        assert n == 0 and len(pm._pending) == 2
+        assert (np.asarray(pm.pool.board) == np.stack(held)).all()
+        n = pm.refresh(0, in_use=np.asarray([1]))
+        assert n == 2 and len(pm._pending) == 0
+        board = np.asarray(pm.pool.board)
+        assert (board[1] == held[1]).all()
+
+    def test_refresh_without_guard_keeps_old_behavior(self):
+        from safelife_tpu.io.iterator import (LevelPoolManager,
+                                              SafeLifeLevelIterator)
+
+        it = SafeLifeLevelIterator('random/append-still-easy',
+                                   num_workers=0, seed=14)
+        pm = LevelPoolManager(it, pool_size=2)
+        held = [np.asarray(pm.pool.board[i]) for i in range(2)]
+        assert pm.refresh(2) == 2
+        board = np.asarray(pm.pool.board)
+        assert not (board[0] == held[0]).all()
+        assert not (board[1] == held[1]).all()
 
 
 class TestQNetworkEvaluation:
