@@ -31,9 +31,24 @@ def main():
     for d in args.run_dirs:
         logfile = os.path.join(d, "benchmark-data.json")
         if not os.path.exists(logfile):
-            print("| %s | (no benchmark-data.json) | | |"
-                  % os.path.basename(d.rstrip("/")))
-            continue
+            # Committed snapshot dirs (scripts/snapshot_run.py) hold the
+            # same records gzipped; inflate to a temp file for the
+            # summarizer.
+            gz = logfile + ".gz"
+            if os.path.exists(gz):
+                import gzip
+                import tempfile
+                with gzip.open(gz, "rt") as f:
+                    data = f.read()
+                tmp = tempfile.NamedTemporaryFile(
+                    "w", suffix=".json", delete=False)
+                tmp.write(data)
+                tmp.close()
+                logfile = tmp.name
+            else:
+                print("| %s | (no benchmark-data.json) | | |"
+                      % os.path.basename(d.rstrip("/")))
+                continue
         s = summarize_run_file(logfile)
         if s is None:  # file exists but holds an empty episode list
             print("| %s | (no benchmark data) | | |"
