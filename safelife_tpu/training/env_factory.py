@@ -239,6 +239,7 @@ task_types = {
         'train_levels': ['random/multi-agent/asym1'],
         'validation_levels': ['random/multi-agent/asym1'],
         'multiagent': True,
+        'benchmark_levels': 'benchmarks/multi-agent-v1/asym1.npz',
     },
     'curriculum-asym1': {
         'iter_class': CurricularLevelIterator,
@@ -248,24 +249,28 @@ task_types = {
             'random/multi-agent/asym1-pretrain-redonly'],
         'validation_levels': ['random/multi-agent/asym1'],
         'multiagent': True,
+        'benchmark_levels': 'benchmarks/multi-agent-v1/asym1.npz',
     },
     'multi-build-coop': {
         'iter_class': SafeLifeLevelIterator,
         'train_levels': ['random/multi-agent/build-coop'],
         'validation_levels': ['random/multi-agent/build-coop'],
         'multiagent': True,
+        'benchmark_levels': 'benchmarks/multi-agent-v1/multi-build-coop.npz',
     },
     'multi-build-compete': {
         'iter_class': SafeLifeLevelIterator,
         'train_levels': ['random/multi-agent/build-compete'],
         'validation_levels': ['random/multi-agent/build-compete'],
         'multiagent': True,
+        'benchmark_levels': 'benchmarks/multi-agent-v1/multi-build-compete.npz',
     },
     'multi-build-parallel': {
         'iter_class': SafeLifeLevelIterator,
         'train_levels': ['random/multi-agent/build-parallel'],
         'validation_levels': ['random/multi-agent/build-parallel'],
         'multiagent': True,
+        'benchmark_levels': 'benchmarks/multi-agent-v1/multi-build-parallel.npz',
     },
     'multi-prune': {
         'iter_class': SafeLifeLevelIterator,
@@ -276,6 +281,7 @@ task_types = {
                          'random/multi-agent/prune-still'],
         'validation_levels': ['random/multi-agent/prune-still'],
         'multiagent': True,
+        'benchmark_levels': 'benchmarks/multi-agent-v1/multi-prune.npz',
     },
 }
 

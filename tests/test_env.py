@@ -364,3 +364,45 @@ class TestPackagedLevelAssets:
             num_envs=1, pool_size=4, procgen_workers=0)
         assert len(bundle.benchmark_levels) == 100
         bundle.pool_manager.close()
+
+    MULTIAGENT_TASKS = ("asym1", "asym2", "multi-build-coop",
+                        "multi-build-compete", "multi-build-parallel",
+                        "multi-prune")
+
+    def test_multiagent_archives_byte_stable(self):
+        """The frozen multi-agent suite (ours — the reference ships none;
+        its gen_benchmarks was only run for the 8 single-agent tasks)
+        must match its generation-time SHA256 manifest byte for byte, so
+        benchmark rows stay reproducible against a fixed suite."""
+        import hashlib
+
+        sums_path = self._pkg("benchmarks", "multi-agent-v1", "SHA256SUMS")
+        sums = dict(
+            reversed(line.split()) for line in open(sums_path)
+            if line.strip())
+        assert set(sums) == {t + ".npz" for t in self.MULTIAGENT_TASKS}
+        for fname, expect in sums.items():
+            data = open(self._pkg("benchmarks", "multi-agent-v1",
+                                  fname), "rb").read()
+            assert hashlib.sha256(data).hexdigest() == expect, fname
+
+    @pytest.mark.parametrize("task", MULTIAGENT_TASKS)
+    def test_multiagent_archives_load(self, task):
+        levels = load_levels(
+            self._pkg("benchmarks", "multi-agent-v1", task + ".npz"))
+        assert len(levels) == 100
+        multi = sum(lv.num_agents == 2 for lv in levels)
+        if task == "multi-prune":
+            assert multi > 0  # spec mixes 1- and 2-agent draws
+        else:
+            assert multi == 100
+
+    def test_factory_uses_multiagent_suite(self):
+        from safelife_tpu.training.env_factory import build_environments
+
+        bundle = build_environments(
+            {"env_type": "multi-build-coop", "seed": 1},
+            num_envs=1, pool_size=4, procgen_workers=0)
+        assert len(bundle.benchmark_levels) == 100
+        assert all(lv.num_agents == 2 for lv in bundle.benchmark_levels)
+        bundle.pool_manager.close()
