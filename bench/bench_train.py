@@ -92,21 +92,29 @@ def run_mode(packed, batch=None, precision=None):
 def main():
     import jax
     if GRID:
-        out = {"device": jax.devices()[0].device_kind, "unit":
-               "train env-steps/s", "grid": []}
-        for batch in (1024, 4096):
-            for precision in ("float32", "bfloat16"):
-                for packed in (True, False):
-                    log("== batch %d %s %s" % (
-                        batch, precision,
-                        "packed" if packed else "unpacked"))
-                    rate, compile_s = run_mode(packed, batch, precision)
-                    out["grid"].append({
-                        "batch": batch, "precision": precision,
-                        "obs": "packed" if packed else "unpacked",
-                        "rate": round(rate),
-                        "compile_warmup_s": round(compile_s, 1)})
-        print(json.dumps(out))
+        # Most-valuable configs first and one JSON line streamed per
+        # config: a killed grid still lands everything it measured.
+        configs = [
+            (4096, "float32", True),    # the training default
+            (4096, "float32", False),
+            (4096, "bfloat16", True),   # the bf16 upside f32 trades away
+            (1024, "float32", True),
+            (1024, "float32", False),
+            (4096, "bfloat16", False),
+            (1024, "bfloat16", True),
+            (1024, "bfloat16", False),
+        ]
+        device = jax.devices()[0].device_kind
+        for batch, precision, packed in configs:
+            log("== batch %d %s %s" % (
+                batch, precision, "packed" if packed else "unpacked"))
+            rate, compile_s = run_mode(packed, batch, precision)
+            print(json.dumps({
+                "device": device, "unit": "train env-steps/s",
+                "batch": batch, "precision": precision,
+                "obs": "packed" if packed else "unpacked",
+                "rate": round(rate),
+                "compile_warmup_s": round(compile_s, 1)}), flush=True)
         return
     log("device:", jax.devices()[0].device_kind, "batch:", BATCH,
         "precision:", PRECISION)
