@@ -227,8 +227,20 @@ def _minibatch_bounds(n, num_minibatches):
     return [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
 
 
-def train_on_batch(cfg, apply_fn, ppo_state, batch, key):
-    """3 epochs of shuffled minibatch SGD over a flattened batch."""
+def train_on_batch(cfg, apply_fn, ppo_state, batch, key,
+                   force_unrolled=False):
+    """3 epochs of shuffled minibatch SGD over a flattened batch.
+
+    When every minibatch has the same size (n divisible by the
+    reference's num_minibatches + 1 slices — true for all standard lane
+    counts), the epochs x minibatches double loop runs as ONE
+    ``lax.scan`` over stacked shuffled index chunks: bit-identical math
+    (``x[perm][a:b] == x[perm[a:b]]``, and Adam updates stay strictly
+    sequential), but the fwd+bwd graph appears once in the compiled
+    program instead of 15 times — measured 13.8k -> ~5k StableHLO lines
+    for the train chunk, with the compile time to match. Ragged
+    minibatch sizes fall back to the unrolled loop (same semantics).
+    """
     opt = make_optimizer(cfg)
     n = batch["obs"].shape[0]
     bounds = _minibatch_bounds(n, cfg.num_minibatches)
@@ -240,6 +252,28 @@ def train_on_batch(cfg, apply_fn, ppo_state, batch, key):
     )
 
     params, opt_state = ppo_state.params, ppo_state.opt_state
+    sizes = {b - a for a, b in bounds}
+    if len(sizes) == 1 and not force_unrolled:
+        perms = []
+        for _ in range(cfg.epochs_per_batch):
+            key, kshuf = jax.random.split(key)
+            perms.append(jax.random.permutation(kshuf, n))
+        # [epochs * slices, mb] index chunks in exact epoch/slice order.
+        idx = jnp.stack([p[a:b] for p in perms for a, b in bounds])
+
+        def body(carry, mb_idx):
+            params, opt_state = carry
+            mb = jax.tree.map(lambda x: jnp.take(x, mb_idx, axis=0),
+                              batch)
+            grads = grad_fn(params, mb)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), None
+
+        (params, opt_state), _ = jax.lax.scan(
+            body, (params, opt_state), idx)
+        return ppo_state.replace(params=params, opt_state=opt_state)
+
     for _ in range(cfg.epochs_per_batch):
         key, kshuf = jax.random.split(key)
         perm = jax.random.permutation(kshuf, n)

@@ -9,6 +9,7 @@ and makes step progress.
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 import pytest
 
 from safelife_tpu.training import train as T
@@ -689,3 +690,47 @@ class TestContinuingAndExhaustiveSE:
         assert len(episodes) >= 4
         assert all("side_effects" in ep for ep in episodes)
         assert all("total" in ep["side_effects"] for ep in episodes)
+
+
+class TestScannedMinibatchUpdates:
+    def test_scanned_equals_unrolled(self):
+        """The lax.scan minibatch path (compile-size optimization) must
+        produce the same parameters and optimizer state as the
+        reference-shaped unrolled epochs x minibatches loop. Not
+        bit-exact: XLA schedules the identical math differently inside
+        a scan body (reduction reassociation), giving ~1e-9 float
+        noise; the tolerance here is far below anything that affects
+        learning (the bf16/f32 gap that *did* affect curves is ~1e-2)."""
+        from safelife_tpu.models.nets import SafeLifePolicyNetwork
+        from safelife_tpu.training import ppo
+
+        cfg = ppo.PPOConfig()
+        model = SafeLifePolicyNetwork(precision="float32")
+        n = 320  # 16 lanes x 20 steps -> 5 equal minibatches of 64
+        rng = np.random.default_rng(0)
+        params = model.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 25, 25, 15), np.float32))
+        state = ppo.init_ppo_state(cfg, params)
+        batch = {
+            "obs": jnp.asarray(rng.random((n, 25, 25, 15)), jnp.float32),
+            "actions": jnp.asarray(rng.integers(0, 9, n), jnp.int32),
+            "action_prob": jnp.asarray(
+                rng.uniform(0.05, 1.0, n), jnp.float32),
+            "values": jnp.asarray(rng.normal(size=n), jnp.float32),
+            "returns": jnp.asarray(rng.normal(size=n), jnp.float32),
+            "advantages": jnp.asarray(rng.normal(size=n), jnp.float32),
+            "weight": jnp.ones((n,), jnp.float32),
+        }
+        key = jax.random.PRNGKey(7)
+        out_scan = ppo.train_on_batch(cfg, model.apply, state, batch, key)
+        out_loop = ppo.train_on_batch(cfg, model.apply, state, batch, key,
+                                      force_unrolled=True)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-7),
+            out_scan.params, out_loop.params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                rtol=1e-4, atol=1e-7),
+            out_scan.opt_state, out_loop.opt_state)
