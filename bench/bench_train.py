@@ -8,8 +8,9 @@ network; unpacked stores the uint8 [.., 25, 25, 15] channel tensors.
 Run on the real chip:
   PYTHONPATH=/root/repo:/root/.axon_site python bench/bench_train.py [batch]
 
-``--grid`` sweeps batch 1024/4096 x float32/bfloat16 x packed/unpacked
-and prints one JSON object to stdout (the ROOFLINE.md training table).
+``--grid`` sweeps batch 1024/4096 x float32/bfloat16 x packed/unpacked,
+streaming one JSON line per config to stdout (JSONL; a killed grid
+still lands everything it measured) — the ROOFLINE.md training table.
 """
 
 import json

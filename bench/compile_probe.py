@@ -29,7 +29,6 @@ Prints one JSON line per run.
 import json
 import os
 import sys
-import tempfile
 import time
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "packed"
@@ -43,8 +42,11 @@ if MODE.endswith("-nokernel"):
 else:
     KERNEL = True
 
-# Throwaway cache: measure a genuine cold compile every run.
-os.environ["SAFELIFE_TPU_CACHE_DIR"] = tempfile.mkdtemp(prefix="xlacold")
+# No persistent compilation cache: measure a genuine cold compile
+# every run (nothing in this probe enables the cache, but pinning the
+# env var keeps it cold even if a future refactor shares bench.py's
+# enable_compilation_cache() prologue).
+os.environ["SAFELIFE_TPU_CACHE_DIR"] = "off"
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -469,20 +469,51 @@ class LevelPoolManager:
         self.pool = packed
         return self.pool
 
+    def _allgather_slot_names(self):
+        """One collective: every host's slot names (+ a per-slot
+        'authoritative' flag) as global arrays.
+
+        Returns (names: list[str] length P_global, fresh: bool[P_global]).
+        The flag is 1 when the owning host vouches for the name — the
+        slot holds a known fresh/initial draw rather than a restored
+        checkpoint level whose real name is unknown (_host_levels still
+        holds the discarded fresh draws for those, see restore_pool).
+        Single wire format for both level_meta() and refresh(); both
+        sites MUST stay collective-symmetric across hosts.
+        """
+        import jax
+        from jax.experimental import multihost_utils
+
+        width = 64
+        P = len(self._host_levels)
+        off = jax.process_index() * P
+        enc = np.zeros((P, width + 1), np.uint8)
+        for i, lv in enumerate(self._host_levels):
+            raw = (lv.name or "").encode()[:width]
+            enc[i, :len(raw)] = np.frombuffer(raw, np.uint8)
+            enc[i, width] = 0 if (self._restored_meta
+                                  and off + i in self._restored_meta) else 1
+        rows = multihost_utils.process_allgather(enc).reshape(-1, width + 1)
+        names = []
+        for g, row in enumerate(rows):
+            body = row[:width]
+            names.append(bytes(body[body != 0]).decode(errors="replace")
+                         or ("level-%d" % g))
+        return names, rows[:, width].astype(bool)
+
     def level_meta(self):
         """LIVE per-slot metadata keyed by *pool* index (global in
         multi-host runs: each host contributes full metadata for its own
         slice and allgathered names for the others, so episode records
         referencing foreign slots still resolve to a meaningful level
-        name — e.g. for curriculum stage matching).
+        name — e.g. for curriculum stage matching). Foreign names are
+        re-gathered on every refresh() (same wire format), so the cache
+        tracks other hosts' swaps too.
 
         The returned dict is the manager's own cache: :meth:`refresh`
         mutates the entries of swapped slots in place, so holders (the
         training EpisodeCollector) always see the level currently in the
-        slot without re-asking. (Multi-host caveat: between full calls,
-        *foreign* hosts' slot names update only through the initial
-        allgather — scores for foreign slots always come from the episode
-        records themselves, which carry live per-lane denominators.)
+        slot without re-asking.
         """
         if self._meta is not None:
             return self._meta
@@ -495,19 +526,10 @@ class LevelPoolManager:
             self._meta = local
             return self._meta
         import jax
-        from jax.experimental import multihost_utils
 
-        width = 64
-        enc = np.zeros((len(self._host_levels), width), np.uint8)
-        for i, lv in enumerate(self._host_levels):
-            raw = (lv.name or "").encode()[:width]
-            enc[i, :len(raw)] = np.frombuffer(raw, np.uint8)
-        names = multihost_utils.process_allgather(enc).reshape(-1, width)
+        names, _ = self._allgather_slot_names()
         offset = jax.process_index() * len(self._host_levels)
-        meta = {}
-        for i, row in enumerate(names):
-            name = bytes(row[row != 0]).decode(errors="replace")
-            meta[i] = {"name": name or ("level-%d" % i)}
+        meta = {i: {"name": name} for i, name in enumerate(names)}
         for i, m in local.items():
             meta[offset + i] = m
         if self._restored_meta:
@@ -549,7 +571,10 @@ class LevelPoolManager:
 
         P = len(self._host_levels)
         new = []
-        for _ in range(max_new):
+        # Don't consume generator output that would only displace levels
+        # already waiting for a slot (busy pools would churn the pending
+        # queue while discarding everything).
+        for _ in range(max(0, max_new - len(self._pending))):
             if self.iterator.num_workers > 0:
                 self.iterator.fill_queue()
                 if not self.iterator.results or not \
@@ -596,10 +621,23 @@ class LevelPoolManager:
                 slots.append(probe)
             probe = (probe + 1) % P
         if self._pending and not slots:
-            logging.getLogger(__name__).info(
-                "level pool refresh deferred: all %d slots are in use "
-                "by live lanes (%d level(s) pending)", P,
-                len(self._pending))
+            self._starved = getattr(self, "_starved", 0) + 1
+            # Persistent starvation means the lane count saturates the
+            # pool and level turnover has effectively stopped (training
+            # continues on the current levels — correct, just less
+            # diverse). Raise it once, loudly, with the knob to turn.
+            log_fn = (logging.getLogger(__name__).warning
+                      if self._starved == 10 else
+                      logging.getLogger(__name__).info)
+            log_fn(
+                "level pool refresh deferred (%d in a row): all %d "
+                "slots are in use by live lanes (%d level(s) pending). "
+                "With many more lanes than pool slots no slot is ever "
+                "free; raise env.pool_size (>= ~2x the lane count) if "
+                "level turnover during training matters.",
+                self._starved, P, len(self._pending))
+        elif slots:
+            self._starved = 0
         kept = self._pending[:len(slots)]
         self._pending = self._pending[len(slots):]
         if slots:
@@ -640,32 +678,28 @@ class LevelPoolManager:
             # Collective: every host re-gathers the global pool every
             # refresh (even with nothing new locally), so the replicated
             # pool stays identical fleet-wide.
-            from jax.experimental import multihost_utils
-
             from ..parallel import mesh as M
 
             self._local_pool = target
             self.pool = M.allgather_level_pool(target)
             # Re-gather slot NAMES too (unconditional, same ordering on
             # every host), patching the cached level_meta's *foreign*
-            # entries in place — other hosts' swaps would otherwise leave
-            # stale names behind for curriculum stage matching.
-            width = 64
-            enc = np.zeros((P, width), np.uint8)
-            for i, lv in enumerate(self._host_levels):
-                raw = (lv.name or "").encode()[:width]
-                enc[i, :len(raw)] = np.frombuffer(raw, np.uint8)
-            names = multihost_utils.process_allgather(enc).reshape(
-                -1, width)
-            if self._meta is not None:
-                for g, row in enumerate(names):
-                    if off <= g < off + P:
-                        continue  # own slots carry full local metadata
-                    if self._restored_meta and g in self._restored_meta:
-                        continue
-                    name = bytes(row[row != 0]).decode(errors="replace")
-                    self._meta.setdefault(g, {})["name"] = \
-                        name or ("level-%d" % g)
+            # entries in place — other hosts' swaps would otherwise
+            # leave stale names behind for curriculum stage matching.
+            # The owner's 'fresh' flag tells restored-run peers that a
+            # restored slot now holds a known level again (so the
+            # restored/slot-N mask must drop on EVERY host, not just
+            # the owner's).
+            names, fresh = self._allgather_slot_names()
+            for g, name in enumerate(names):
+                if off <= g < off + P:
+                    continue  # own slots carry full local metadata
+                if not fresh[g]:
+                    continue  # owner can't vouch for a restored slot
+                if self._restored_meta:
+                    self._restored_meta.pop(g, None)
+                if self._meta is not None:
+                    self._meta.setdefault(g, {})["name"] = name
         elif kept:
             self.pool = target
         return len(kept)

@@ -319,15 +319,19 @@ def build_environments(config, data_dir=None, num_envs=64, pool_size=None,
     """Build the training bundle for a task (parity:
     env_factory.py:290-410, adapted to the functional env).
 
-    ``pool_size`` defaults to ``max(32, min(128, 2 * num_envs))``: the
+    ``pool_size`` defaults to ``max(32, min(256, 2 * num_envs))``: the
     in-use guard in LevelPoolManager.refresh only rotates slots no live
     lane references, so the pool must comfortably exceed the lane count
     for turnover to proceed (with B lanes sampling P slots uniformly,
-    ~P·(1−1/P)^B slots are free at any instant).
+    ~P·(1−1/P)^B slots are free at any instant). Beyond the 256-slot
+    cap (lane counts in the thousands) startup generation cost wins and
+    turnover effectively stops — training continues on the initial
+    pool, refresh logs the starvation, and ``env.pool_size`` is the
+    override for users who want turnover at that scale.
     """
     task = config.setdefault('env_type', 'append-still')
     if pool_size is None:
-        pool_size = max(32, min(128, 2 * num_envs))
+        pool_size = max(32, min(256, 2 * num_envs))
     pool_size = int(config.setdefault('env.pool_size', pool_size))
     if task not in task_types:
         raise ValueError("'%s' is not a recognized task" % task)

@@ -30,31 +30,26 @@ def main():
     print("|---|---|---|---|")
     for d in args.run_dirs:
         logfile = os.path.join(d, "benchmark-data.json")
-        if not os.path.exists(logfile):
+        if os.path.exists(logfile):
+            opener = lambda: open(logfile)  # noqa: E731
+        elif os.path.exists(logfile + ".gz"):
             # Committed snapshot dirs (scripts/snapshot_run.py) hold the
-            # same records gzipped; inflate to a temp file for the
-            # summarizer.
+            # same records gzipped; the summarizer takes file objects.
+            import gzip
             gz = logfile + ".gz"
-            if os.path.exists(gz):
-                import gzip
-                import tempfile
-                with gzip.open(gz, "rt") as f:
-                    data = f.read()
-                tmp = tempfile.NamedTemporaryFile(
-                    "w", suffix=".json", delete=False)
-                tmp.write(data)
-                tmp.close()
-                logfile = tmp.name
-            else:
-                print("| %s | (no benchmark-data.json) | | |"
-                      % os.path.basename(d.rstrip("/")))
-                continue
-        s = summarize_run_file(logfile)
+            opener = lambda: gzip.open(gz, "rt")  # noqa: E731
+        else:
+            print("| %s | (no benchmark-data.json) | | |"
+                  % os.path.basename(d.rstrip("/")))
+            continue
+        with opener() as f:
+            s = summarize_run_file(f)
         if s is None:  # file exists but holds an empty episode list
             print("| %s | (no benchmark data) | | |"
                   % os.path.basename(d.rstrip("/")))
             continue
-        n = len(json.load(open(logfile)))
+        with opener() as f:
+            n = len(json.load(f))
         print("| %s (%d eps) | %.3f | %.3f | %+.1f |" % (
             os.path.basename(d.rstrip("/")), n,
             s["reward"], s["side_effects"], s["score"]))

@@ -76,9 +76,9 @@ run prune-still-hard 0 400
 echo STAGE2_RESULTS_DONE
 
 # ---- Stage 3: learner-side throughput (VERDICT round-4 item 4).
-python bench/bench_train.py --grid > "$OUT/bench_train.json" 2>"$OUT/bench_train.log"
-cp "$OUT/bench_train.json" "$LIVE/results/bench_train_r05.json"
-commit_results "results/bench_train_r05.json" \
+python bench/bench_train.py --grid > "$OUT/bench_train.jsonl" 2>"$OUT/bench_train.log"
+cp "$OUT/bench_train.jsonl" "$LIVE/results/bench_train_r05.jsonl"
+commit_results "results/bench_train_r05.jsonl" \
     "results: learner throughput grid (packed/unpacked x f32/bf16)"
 echo STAGE3_BENCH_DONE
 echo QUEUE_DONE

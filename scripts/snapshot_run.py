@@ -61,16 +61,25 @@ def main():
         if s is not None:
             summary[kind] = {k: (None if v is None else round(float(v), 4))
                              for k, v in s.items()}
-    # Wall-clock: span of the episode timestamps in the training log.
+        if kind == "training":
+            # Wall-clock: span of the episode timestamps (records are
+            # already parsed above; don't re-read a multi-MB log).
+            # Both stacks log ISO-8601 strings (ours timezone-aware,
+            # the reference naive).
+            from datetime import datetime
+            times = []
+            for r in records:
+                if isinstance(r, dict) and "time" in r:
+                    try:
+                        t = datetime.fromisoformat(str(r["time"]))
+                        times.append(t.replace(tzinfo=None))
+                    except ValueError:
+                        pass
+            if len(times) >= 2:
+                summary["training_wall_s"] = round(
+                    (max(times) - min(times)).total_seconds(), 1)
     tlog = os.path.join(run_dir, "training-log.json")
     if os.path.exists(tlog):
-        try:
-            recs = json.load(open(tlog))
-            times = [r["time"] for r in recs if "time" in r]
-            if len(times) >= 2:
-                summary["training_wall_s"] = round(max(times) - min(times), 1)
-        except (ValueError, TypeError):
-            pass
         gz_copy(tlog, os.path.join(out, "training-log.json.gz"))
     bdata = os.path.join(run_dir, "benchmark-data.json")
     if os.path.exists(bdata):
