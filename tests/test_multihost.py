@@ -83,6 +83,24 @@ assert all("append-still-easy" in meta[i]["name"] for i in range(4)), meta
 # Refresh stays collective and keeps the pool replicated & global.
 mgr.refresh(1)
 assert mgr.pool.num_levels == 4
+# Foreign-slot name propagation after a (simulated) checkpoint restore:
+# every slot masked as restored/slot-N on every host, then each host
+# refreshes one slot of its own slice. The owner's 'fresh' flag must
+# drop the mask on BOTH hosts (pre-round-5 regression: non-owners kept
+# restored/slot-N forever), while unswapped slots keep it.
+mgr._restored_meta = {g: {"name": "restored/slot-%d" % g}
+                      for g in range(4)}
+meta.update({g: dict(mgr._restored_meta[g]) for g in range(4)})
+mgr.refresh(1)
+# The first refresh consumed local slot 0, so this one swaps local
+# slot 1 of each host's slice.
+swapped = {2 * h + 1 for h in range(2)}
+for g in range(4):
+    if g in swapped:
+        assert g not in mgr._restored_meta, (pid, g)
+        assert "append-still-easy" in meta[g]["name"], (pid, g, meta[g])
+    else:
+        assert meta[g]["name"] == "restored/slot-%d" % g, (pid, g, meta[g])
 mgr.close()
 print("WORKER_OK", pid)
 """
